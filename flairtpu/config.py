@@ -1,0 +1,274 @@
+"""YAML config loading + typed validation.
+
+Keeps the exact YAML surface of the reference (``configs/flair-1-config*.yaml``,
+see reference ``src/flair/utils.py:5-7`` and ``src/zone_detect/utils.py:13-94``)
+but replaces scattered asserts with a single validation layer that normalizes
+types, fills defaults, and raises early with actionable messages.
+
+Configs stay plain dicts on purpose: the reference's public contract is
+``config['...']`` key access from user YAML, and round-tripping through
+dataclasses would silently drop unknown user keys.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Iterable
+
+import yaml
+
+
+class ConfigError(ValueError):
+    """Raised when a config file fails validation."""
+
+
+def read_config(path: str | os.PathLike) -> dict:
+    """Load a YAML config file into a plain dict (reference flair/utils.py:5-7)."""
+    with open(path, "r") as f:
+        cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict):
+        raise ConfigError(f"Config file {path} did not parse to a mapping.")
+    return cfg
+
+
+def _require(cfg: dict, key: str, ctx: str = "config"):
+    if key not in cfg:
+        raise ConfigError(f"Missing required key '{key}' in {ctx}.")
+    return cfg[key]
+
+
+def _coerce_list(value: Any, expected_type: type) -> list:
+    """Coerce scalars to single-element lists; filter/validate element types.
+
+    Mirrors ``check_list_type`` semantics (reference zone_detect/utils.py:97-107).
+    """
+    if isinstance(value, expected_type):
+        value = [value]
+    elif value is None:
+        value = []
+    elif hasattr(value, "__iter__"):
+        value = [expected_type(v) if isinstance(v, (int, float)) else v for v in value]
+    for v in value:
+        if not isinstance(v, expected_type):
+            raise ConfigError(f"List element {v!r} is not of type {expected_type.__name__}.")
+    return value
+
+
+# ---------------------------------------------------------------------------
+# classes / weights helpers (shared by train + metrics paths)
+# ---------------------------------------------------------------------------
+
+def class_weights(cfg: dict) -> list[float]:
+    """Per-class weights in class-id order (reference tasks_utils.py:88-93)."""
+    classes = _require(cfg, "classes")
+    return [float(classes[k][0]) for k in classes]
+
+
+def class_names(cfg: dict) -> list[str]:
+    classes = _require(cfg, "classes")
+    return [str(classes[k][1]) for k in classes]
+
+
+def num_classes(cfg: dict) -> int:
+    return len(_require(cfg, "classes"))
+
+
+# ---------------------------------------------------------------------------
+# flair (patch train/predict/metrics) config
+# ---------------------------------------------------------------------------
+
+_NORM_TYPES = ("scaling", "custom", "without")
+
+
+def validate_train_config(cfg: dict) -> dict:
+    """Validate the `flair --conf` YAML (schema: reference configs/flair-1-config.yaml)."""
+    paths = _require(cfg, "paths")
+    tasks = _require(cfg, "tasks")
+    mf = _require(cfg, "model_framework")
+    provider = _require(mf, "model_provider", "model_framework")
+    if provider not in ("SegmentationModelsPytorch", "HuggingFace"):
+        raise ConfigError(
+            "model_provider should be either HuggingFace or SegmentationModelsPytorch, "
+            f"got {provider!r}."
+        )
+
+    channels = _require(cfg, "channels")
+    if not (isinstance(channels, list) and all(isinstance(c, int) for c in channels)):
+        raise ConfigError("channels should be a list of 1-based integers.")
+
+    norm_type = cfg.get("norm_type", "scaling")
+    if norm_type not in _NORM_TYPES:
+        raise ConfigError(f"norm_type should be one of {_NORM_TYPES}, got {norm_type!r}.")
+    if norm_type == "custom":
+        means, stds = cfg.get("norm_means", []), cfg.get("norm_stds", [])
+        if len(means) != len(stds):
+            raise ConfigError("custom normalization means and stds must be the same length.")
+        if len(means) != len(channels):
+            raise ConfigError("custom normalization means/stds must match len(channels).")
+
+    classes = _require(cfg, "classes")
+    for k, v in classes.items():
+        if not (isinstance(v, (list, tuple)) and len(v) == 2):
+            raise ConfigError(f"classes[{k}] must be [weight, name], got {v!r}.")
+
+    cfg.setdefault("use_metadata", False)
+    cfg.setdefault("use_augmentation", False)
+    cfg.setdefault("use_weights", True)
+    cfg.setdefault("seed", 2022)
+    cfg.setdefault("georeferencing_output", True)
+    cfg.setdefault("accelerator", "tpu")
+    cfg.setdefault("num_nodes", 1)
+    cfg.setdefault("strategy", "auto")
+    cfg.setdefault("num_workers", 4)
+    cfg.setdefault("ckpt_save_also_last", True)
+    cfg.setdefault("ckpt_weights_only", False)
+    cfg.setdefault("ckpt_monitor", "val_loss")
+    cfg.setdefault("ckpt_monitor_mode", "min")
+    cfg.setdefault("ckpt_earlystopping_patience", 30)
+    cfg.setdefault("cp_csv_and_conf_to_output", True)
+    cfg.setdefault("enable_progress_bar", True)
+    if cfg["ckpt_monitor_mode"] not in ("min", "max"):
+        raise ConfigError("ckpt_monitor_mode must be 'min' or 'max'.")
+
+    train_tasks = tasks.get("train_tasks", {}) or {}
+    tasks.setdefault("train", False)
+    tasks.setdefault("predict", False)
+    tasks.setdefault("metrics", False)
+    tasks.setdefault("delete_preds", False)
+    train_tasks.setdefault("init_weights_only_from_ckpt", False)
+    train_tasks.setdefault("resume_training_from_ckpt", False)
+    tasks["train_tasks"] = train_tasks
+
+    paths.setdefault("out_folder", "")
+    paths.setdefault("out_model_name", "flair-model")
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# flair-detect (zone inference) config
+# ---------------------------------------------------------------------------
+
+_OUTPUT_TYPES = ("class_prob", "argmax")
+_STITCH_METHODS = ("exact-clipping", "average", "average_weights", "max")
+
+
+def validate_detect_config(cfg: dict) -> dict:
+    """Validate the `flair-detect` YAML (reference zone_detect/utils.py:26-94)."""
+    cfg.setdefault("metrics", False)
+    cfg.setdefault("batch_mode", False)
+    cfg.setdefault("compare", False)
+    cfg.setdefault("write_dataframe", False)
+    cfg.setdefault("use_gpu", False)  # accepted for YAML parity; device choice is JAX's
+    cfg.setdefault("num_worker", 2)
+    cfg.setdefault("batch_size", 4)
+
+    Path(_require(cfg, "output_path")).mkdir(parents=True, exist_ok=True)
+    in_path = _require(cfg, "input_img_path")
+    if not cfg.get("batch_mode") and not os.path.exists(in_path):
+        raise ConfigError(f"Input image path does not exist: {in_path}")
+
+    if cfg["metrics"]:
+        cfg["metrics_out"] = str(Path(cfg["output_path"]) / "metrics.json")
+        if not cfg.get("batch_mode"):
+            truth = _require(cfg, "truth_path")
+            if not os.path.exists(truth):
+                raise ConfigError(f"Ground truth path does not exist: {truth}")
+
+    channels = _require(cfg, "channels")
+    if not (isinstance(channels, list) and all(isinstance(c, int) for c in channels)):
+        raise ConfigError("Channels should be a list of integers.")
+
+    size = _require(cfg, "img_pixels_detection")
+    margin = _require(cfg, "margin")
+    if not isinstance(size, int):
+        raise ConfigError("img_pixels_detection should be an integer.")
+    if not (isinstance(margin, int) and 2 * margin < size):
+        raise ConfigError("margin should be an integer and less than half of img_pixels_detection.")
+
+    if _require(cfg, "output_type") not in _OUTPUT_TYPES:
+        raise ConfigError("Invalid output type: should be argmax or class_prob.")
+    if not isinstance(_require(cfg, "n_classes"), int):
+        raise ConfigError("n_classes should be an integer.")
+
+    norma = _require(cfg, "norma_task")
+    if norma[0]["norm_type"] not in ("custom", "scaling"):
+        raise ConfigError("Invalid normalization type: should be custom or scaling.")
+
+    weights = _require(cfg, "model_weights")
+    if not os.path.isfile(weights):
+        raise ConfigError(f"Model weights file does not exist: {weights}")
+    if os.path.splitext(str(weights))[1] not in (".pth", ".ckpt", ".msgpack", ".flax"):
+        raise ConfigError(
+            "Model weights should be a .pth/.ckpt (torch) or .msgpack/.flax (native) file. "
+            f"Got {os.path.splitext(str(weights))[1]!r}"
+        )
+
+    if cfg["compare"]:
+        strat = _require(cfg, "strategies")
+        tiling = strat.setdefault("tiling", {})
+        tiling["size_range"] = _coerce_list(tiling.get("size_range"), int)
+        tiling["stride_range"] = _coerce_list(tiling.get("stride_range"), float)
+        if not all(0 <= s <= 1 for s in tiling["stride_range"]):
+            raise ConfigError("Stride should be a percentage in [0, 1].")
+        stitching = strat.setdefault("stitching", {})
+        stitching["methods"] = _coerce_list(
+            stitching.get("methods", stitching.get("method")), str
+        )
+        for m in stitching["methods"]:
+            if m not in _STITCH_METHODS:
+                raise ConfigError(f"Unknown stitching method {m!r}; valid: {_STITCH_METHODS}.")
+        stitching["margin"] = _coerce_list(stitching.get("margin"), float)
+        if not all(0 <= m <= 1 for m in stitching["margin"]):
+            raise ConfigError("Margin should be a percentage in [0, 1].")
+
+    return cfg
+
+
+def gen_param_combination(cfg: dict) -> list[dict]:
+    """Cross-product of compare-mode strategies (reference zone_detect/utils.py:110-167).
+
+    padding x tile sizes x margins (fractional margins resolved against the tile
+    size) x strides x stitching methods; combos with size <= 2*margin are skipped.
+    """
+    from flairtpu.zone.grid import get_stride
+
+    combos = []
+    padding_list = (cfg.get("strategies") or {}).get("padding_overall") or ["no-padding"]
+    if isinstance(padding_list, str):
+        padding_list = [padding_list]
+
+    tiling = (cfg.get("strategies") or {}).get("tiling") or {}
+    sizes = tiling.get("size_range") if tiling.get("enabled") else None
+    sizes = sizes or [cfg["img_pixels_detection"]]
+
+    stitching = (cfg.get("strategies") or {}).get("stitching") or {}
+    if stitching.get("enabled"):
+        margins = stitching.get("margin") or [cfg["margin"]]
+        methods = stitching.get("methods") or ["exact-clipping"]
+    else:
+        margins = [cfg["margin"]]
+        methods = ["exact-clipping"]
+
+    for padding in padding_list:
+        for size in sizes:
+            for margin in margins:
+                if margin < 1:
+                    margin = int(margin * size)
+                if size <= 2 * margin:
+                    print(f"    [x] skipping {size} pixels detection size with {margin} margin...")
+                    continue
+                tmp = dict(cfg)
+                tmp["margin"], tmp["img_pixels_detection"] = margin, size
+                for stride in get_stride(tmp):
+                    for stitch in methods:
+                        combos.append(
+                            {
+                                "img_pixels_detection": size,
+                                "margin": margin,
+                                "padding": padding,
+                                "stitching": stitch,
+                                "stride": stride,
+                            }
+                        )
+    return combos
