@@ -1,0 +1,139 @@
+"""Patch dataset + threaded prefetching loader (training/predict feed).
+
+Replaces the reference's torch Dataset/DataLoader pair
+(src/flair/data_loader.py:34-144, data_module.py:6-104) with a host pipeline
+tuned for a TPU feed:
+
+- masks stay integer labels (the reference one-hot-encodes then immediately
+  argmaxes them back, data_loader.py:65-69 + task_module.py:71 — bug #8 in
+  SURVEY.md; integers are 19x less bytes on the wire);
+- images ship as raw uint8 NHWC; normalization and augmentation run on device
+  inside the jitted step (see data.normalize / data.augment);
+- threaded prefetch with per-thread decode (zlib/C++ decoders release the GIL),
+  no fork-based workers and no shared-handle races (README:244 hazard);
+- deterministic epoch shuffling from a seed, drop_last semantics matching the
+  reference trainer (drop_last=True for fit loaders, tasks_utils.py:57).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from flairtpu.io import TiffReader
+
+
+class PatchDataset:
+    """Random-access reader over a manifest dict {'IMG', 'MSK', 'MTD'}."""
+
+    def __init__(self, files: dict, channels=(1, 2, 3, 4, 5),
+                 use_metadata: bool = False, with_masks: bool = True):
+        self.images = list(files["IMG"])
+        self.masks = list(files.get("MSK", []))
+        self.metadata = list(files.get("MTD", []))
+        self.channels = list(channels)
+        self.use_metadata = use_metadata
+        self.with_masks = with_masks and any(self.masks)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def read(self, idx: int) -> dict:
+        out: dict = {"id": self.images[idx]}
+        with TiffReader(self.images[idx], cache_blocks=4) as r:
+            img = r.read(self.channels)  # (C, H, W), native dtype
+        out["img"] = np.ascontiguousarray(np.moveaxis(img, 0, -1))  # NHWC
+        if self.with_masks:
+            with TiffReader(self.masks[idx], cache_blocks=4) as r:
+                msk = r.read(1).astype(np.int32) - 1  # labels start at 1 on disk
+            out["msk"] = msk
+        if self.use_metadata:
+            out["mtd"] = np.asarray(self.metadata[idx], np.float32)
+        return out
+
+
+class PatchLoader:
+    """Batched iterator with threaded decode + bounded prefetch.
+
+    Yields dicts of stacked numpy arrays: ``img`` (B, H, W, C) in the raster's
+    native dtype, ``msk`` (B, H, W) int32, optional ``mtd`` (B, 45) float32,
+    and ``id`` (list of paths). Each ``__iter__`` advances the epoch for
+    shuffling (seeded, deterministic).
+    """
+
+    def __init__(self, dataset: PatchDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 2022, drop_last: bool = False,
+                 num_workers: int = 4, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self) -> list[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = []
+        for i in range(0, len(idx), self.batch_size):
+            b = idx[i : i + self.batch_size]
+            if self.drop_last and len(b) < self.batch_size:
+                break
+            batches.append(b)
+        return batches
+
+    def _collate(self, items: list[dict]) -> dict:
+        batch = {
+            "img": np.stack([it["img"] for it in items]),
+            "id": [it["id"] for it in items],
+        }
+        if "msk" in items[0]:
+            batch["msk"] = np.stack([it["msk"] for it in items])
+        if "mtd" in items[0]:
+            batch["mtd"] = np.stack([it["mtd"] for it in items])
+        return batch
+
+    def __iter__(self):
+        batches = self._index_batches()
+        self._epoch += 1
+        if not batches:
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                for b in batches:
+                    if stop.is_set():
+                        break
+                    items = list(ex.map(self.dataset.read, b))
+                    q.put(self._collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can finish putting and exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)

@@ -1,0 +1,220 @@
+"""torch checkpoint -> Flax variables converter.
+
+Loads the reference ecosystem's artifacts — bare smp ``.pth`` state dicts
+(e.g. FLAIR-INC_rgbie_15cl_resnet34-unet_weights.pth) and Lightning ``.ckpt``
+files — and maps them onto :class:`flairtpu.models.factory.FlairSegmentationModel`
+variables. Key handling mirrors the reference loader (src/zone_detect/model.py:61-88):
+``.ckpt`` unwraps ``state_dict`` and strips the ``model.seg_model.`` prefix;
+unlike the reference, the metadata MLP (``model.enc.enc_mlp.*``) is also
+recovered when present.
+
+Layout transforms: torch conv (O, I, kH, kW) -> flax (kH, kW, I, O);
+torch linear (out, in) -> flax (in, out); BatchNorm weight/bias ->
+scale/bias and running stats -> batch_stats.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str | Path) -> dict[str, np.ndarray]:
+    """Read a .pth/.ckpt file into {torch_key: np.ndarray} (host, fp32-as-is)."""
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=True)
+    if str(path).endswith(".ckpt") and isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        obj = obj.state_dict()
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
+
+
+def normalize_keys(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Strip Lightning wrappers: model.seg_model.* -> *, keep model.enc.* MLP."""
+    first = next(iter(sd), "")
+    if "model.seg_model." in first or any(k.startswith("model.seg_model.") for k in sd):
+        out = {}
+        for k, v in sd.items():
+            if k.startswith("model.seg_model."):
+                out[k[len("model.seg_model."):]] = v
+            elif k.startswith("model.enc."):
+                out[k[len("model."):]] = v  # enc.enc_mlp.*
+            # criterion.*, optimizer state etc. are dropped
+        return out
+    return dict(sd)
+
+
+_LAYER_RE = re.compile(r"^encoder\.layer(\d+)\.(\d+)\.(.+)$")
+_BLOCK_RE = re.compile(r"^decoder\.blocks\.(\d+)\.(conv[12])\.([01])\.(.+)$")
+_MLP_RE = re.compile(r"^enc\.enc_mlp\.(\d+)\.(weight|bias)$")
+
+_BN_PARAM = {"weight": ("params", "scale"), "bias": ("params", "bias")}
+_BN_STATS = {"running_mean": ("batch_stats", "mean"), "running_var": ("batch_stats", "var")}
+
+
+def _convert_tensor(torch_key_leaf: str, arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "conv" and torch_key_leaf == "weight":
+        return np.transpose(arr, (2, 3, 1, 0))
+    if kind == "linear" and torch_key_leaf == "weight":
+        return arr.T
+    return arr
+
+
+def _bn_dest(leaf: str):
+    """Return (collection, flax_leaf) for a batchnorm tensor, or None to skip."""
+    if leaf in _BN_PARAM:
+        return _BN_PARAM[leaf]
+    if leaf in _BN_STATS:
+        return _BN_STATS[leaf]
+    if leaf == "num_batches_tracked":
+        return None
+    raise KeyError(f"unexpected batchnorm leaf {leaf!r}")
+
+
+def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
+    """Map a normalized smp-style state dict to {'params':..., 'batch_stats':...}."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(collection: str, path: tuple[str, ...], value: np.ndarray):
+        tree = params if collection == "params" else stats
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def put_bn(module_path: tuple[str, ...], leaf: str, arr: np.ndarray):
+        dest = _bn_dest(leaf)
+        if dest is None:
+            return
+        coll, flax_leaf = dest
+        put(coll, module_path + (flax_leaf,), arr)
+
+    for key, arr in sd.items():
+        arr = np.asarray(arr)
+        # --- encoder stem ---
+        if key == "encoder.conv1.weight":
+            put("params", ("encoder", "conv1", "kernel"), _convert_tensor("weight", arr, "conv"))
+            continue
+        if key.startswith("encoder.bn1."):
+            put_bn(("encoder", "bn1"), key.rsplit(".", 1)[1], arr)
+            continue
+        # --- encoder stages ---
+        m = _LAYER_RE.match(key)
+        if m:
+            stage, unit, rest = m.group(1), m.group(2), m.group(3)
+            mod = ("encoder", f"layer{stage}_{unit}")
+            if rest.startswith("conv"):
+                name, leaf = rest.split(".", 1)
+                put("params", mod + (name, "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            elif rest.startswith("bn"):
+                name, leaf = rest.split(".", 1)
+                put_bn(mod + (name,), leaf, arr)
+            elif rest.startswith("downsample.0."):
+                put("params", mod + ("downsample_conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            elif rest.startswith("downsample.1."):
+                put_bn(mod + ("downsample_bn",), rest.rsplit(".", 1)[1], arr)
+            else:
+                raise KeyError(f"unrecognized encoder key {key!r}")
+            continue
+        # --- decoder blocks (Conv2dReLU: .0 conv / .1 bn) ---
+        m = _BLOCK_RE.match(key)
+        if m:
+            i, convname, sub, leaf = m.groups()
+            mod = ("decoder", f"block{i}")
+            if sub == "0":
+                put("params", mod + (convname, "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            else:
+                put_bn(mod + (f"bn{convname[-1]}",), leaf, arr)
+            continue
+        # --- head ---
+        if key.startswith("segmentation_head.0."):
+            leaf = key.rsplit(".", 1)[1]
+            put("params", ("segmentation_head", "conv",
+                           "kernel" if leaf == "weight" else leaf),
+                _convert_tensor(leaf, arr, "conv"))
+            continue
+        # --- metadata MLP (enc.enc_mlp.{0,3,6}) ---
+        m = _MLP_RE.match(key)
+        if m:
+            idx, leaf = int(m.group(1)), m.group(2)
+            fc = {0: "fc0", 3: "fc1", 6: "fc2"}[idx]
+            put("params", ("metadata_mlp", fc, "kernel" if leaf == "weight" else leaf),
+                _convert_tensor(leaf, arr, "linear"))
+            continue
+        if key.startswith(("criterion.", "optimizer.")) or key.endswith("num_batches_tracked"):
+            continue
+        raise KeyError(f"unrecognized checkpoint key {key!r}")
+
+    return {"params": params, "batch_stats": stats}
+
+
+def _tree_paths(tree, prefix=()):  # leaves as sorted path tuples
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out += _tree_paths(v, prefix + (k,))
+        else:
+            out.append(prefix + (k,))
+    return out
+
+
+def validate_against(variables: dict, reference: dict, strict: bool = True) -> list[str]:
+    """Compare converted variables to a model-initialized tree (strict load).
+
+    Returns a list of problems (missing/unexpected/shape-mismatch); raises when
+    strict and problems exist — the analog of torch ``load_state_dict(strict=True)``
+    (reference src/zone_detect/model.py:88).
+    """
+    problems = []
+    for coll in ("params", "batch_stats"):
+        got = set(_tree_paths(variables.get(coll, {})))
+        want = set(_tree_paths(reference.get(coll, {})))
+        for p in sorted(want - got):
+            problems.append(f"missing {coll}: {'/'.join(p)}")
+        for p in sorted(got - want):
+            problems.append(f"unexpected {coll}: {'/'.join(p)}")
+        for p in sorted(got & want):
+            a = _tree_get(variables[coll], p)
+            b = _tree_get(reference[coll], p)
+            if tuple(np.shape(a)) != tuple(np.shape(b)):
+                problems.append(
+                    f"shape mismatch {coll} {'/'.join(p)}: {np.shape(a)} vs {np.shape(b)}")
+    if strict and problems:
+        raise ValueError("checkpoint does not match model:\n  " + "\n  ".join(problems))
+    return problems
+
+
+def _tree_get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def load_checkpoint_variables(path: str | Path, reference: dict | None = None,
+                              strict: bool = True) -> dict:
+    """One-call load: torch file -> flax variables, optionally validated."""
+    sd = normalize_keys(load_torch_state_dict(path))
+    variables = torch_to_flax(sd)
+    if reference is not None:
+        validate_against(variables, reference, strict=strict)
+    return variables
+
+
+def checkpoint_num_classes(sd: Mapping[str, np.ndarray]) -> int | None:
+    """Infer the class count from head/criterion tensors (flair/main.py:106-111)."""
+    for key in ("segmentation_head.0.weight", "criterion.weight"):
+        if key in sd:
+            return int(sd[key].shape[0])
+    for key in sd:
+        if key.endswith("classifier.weight"):
+            return int(sd[key].shape[0])
+    return None

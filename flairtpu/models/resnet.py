@@ -1,0 +1,173 @@
+"""Flax ResNet encoders (torchvision topology), NHWC, TPU-friendly.
+
+Mirrors the encoder the reference gets from segmentation-models-pytorch's
+``smp.create_model(arch='unet', encoder_name='resnet34', ...)``
+(reference src/flair/model.py:35-41): torchvision ResNet stem + 4 stages with
+the fc head removed, exposing 6 feature maps at strides (1, 2, 4, 8, 16, 32)
+for the U-Net skip connections.
+
+Layout is NHWC (XLA:TPU's native conv layout) with parameters in fp32 and a
+configurable compute dtype (bf16 feeds the MXU at full rate; fp32 is used for
+bit-parity testing against torch). BatchNorm statistics always accumulate in
+fp32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torchvision layer specs: (block, units per stage)
+RESNET_SPECS = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+}
+
+_BN_EPS = 1e-5  # torch nn.BatchNorm2d default
+_BN_MOMENTUM = 0.9  # flax semantics; == torch momentum 0.1
+
+
+def batch_norm(dtype, name: str | None = None):
+    return nn.BatchNorm(
+        use_running_average=None,  # taken from the `use_running_average` call arg
+        momentum=_BN_MOMENTUM,
+        epsilon=_BN_EPS,
+        dtype=jnp.float32,  # BN math in fp32 regardless of activations dtype
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def conv(features: int, kernel: int, stride: int = 1, padding: int | None = None,
+         use_bias: bool = False, dtype=jnp.float32, name: str | None = None):
+    if padding is None:
+        padding = kernel // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1), NHWC."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock: 3x3-bn-relu-3x3-bn + (optional 1x1 downsample)."""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        y = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        y = batch_norm(self.dtype, "bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(y)
+        y = batch_norm(self.dtype, "bn2")(y, use_running_average=not train)
+        if self.downsample:
+            identity = conv(self.features, 1, self.stride, padding=0,
+                            dtype=self.dtype, name="downsample_conv")(x)
+            identity = batch_norm(self.dtype, "downsample_bn")(
+                identity, use_running_average=not train)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1-3x3-1x1 with 4x expansion."""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        y = conv(self.features, 1, 1, padding=0, dtype=self.dtype, name="conv1")(x)
+        y = batch_norm(self.dtype, "bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv2")(y)
+        y = batch_norm(self.dtype, "bn2")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv(self.features * 4, 1, 1, padding=0, dtype=self.dtype, name="conv3")(y)
+        y = batch_norm(self.dtype, "bn3")(y, use_running_average=not train)
+        if self.downsample:
+            identity = conv(self.features * 4, 1, self.stride, padding=0,
+                            dtype=self.dtype, name="downsample_conv")(x)
+            identity = batch_norm(self.dtype, "downsample_bn")(
+                identity, use_running_average=not train)
+        return nn.relu(y + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet feature extractor returning the 6 U-Net pyramid levels.
+
+    Output channels: basic blocks (C_in, 64, 64, 128, 256, 512); bottleneck
+    (C_in, 64, 256, 512, 1024, 2048). Feature i has stride 2**i (i=0 is the
+    input itself, matching smp's nn.Identity() stage 0).
+    """
+
+    name_spec: str = "resnet34"
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self) -> tuple[int, ...]:
+        kind, units = RESNET_SPECS[self.name_spec]
+        if kind == "basic":
+            return (0, 64, 64, 128, 256, 512)
+        return (0, 64, 256, 512, 1024, 2048)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> list[jax.Array]:
+        kind, units = RESNET_SPECS[self.name_spec]
+        block = BasicBlock if kind == "basic" else Bottleneck
+        expansion = 1 if kind == "basic" else 4
+
+        features = [x]
+        y = conv(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
+        y = batch_norm(self.dtype, "bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        features.append(y)  # stride 2
+
+        y = max_pool_3x3_s2(y)
+        in_ch = 64
+        for stage, n_units in enumerate(units):
+            width = 64 * (2 ** stage)
+            stride = 1 if stage == 0 else 2
+            for u in range(n_units):
+                first = u == 0
+                needs_ds = first and (stride != 1 or in_ch != width * expansion)
+                y = block(
+                    features=width,
+                    stride=stride if first else 1,
+                    downsample=needs_ds,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{u}",
+                )(y, train)
+                in_ch = width * expansion
+            features.append(y)  # strides 4, 8, 16, 32
+        return features

@@ -1,0 +1,148 @@
+"""Model + converter tests: logit parity between Flax and the torch mirror."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from flairtpu.models import convert
+from flairtpu.models.factory import FlairSegmentationModel, create_model, init_model
+from tests import torch_ref
+
+
+def _torch_model(in_ch=5, classes=13, seed=0):
+    torch.manual_seed(seed)
+    m = torch_ref.ResNet34Unet(in_channels=in_ch, classes=classes)
+    # randomize BN running stats so inference parity actually exercises them
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    m.eval()
+    return m
+
+
+def _to_flax_variables(tm) -> dict:
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    return convert.torch_to_flax(convert.normalize_keys(sd))
+
+
+def test_logit_parity_fp32(rng):
+    """Core correctness anchor: fp32 logits match torch on a fixed input."""
+    tm = _torch_model()
+    x = rng.standard_normal((2, 64, 64, 5), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+
+    fm = FlairSegmentationModel(encoder_name="resnet34", classes=13, dtype=jnp.float32)
+    variables = _to_flax_variables(tm)
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+
+    assert got.shape == want.shape == (2, 13, 64, 64)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_converter_structure_matches_init():
+    """Converted tree == init tree (the strict-load contract)."""
+    tm = _torch_model(in_ch=3, classes=7)
+    variables = _to_flax_variables(tm)
+    fm = FlairSegmentationModel(encoder_name="resnet34", classes=7)
+    params, stats = init_model(fm, (1, 32, 32, 3))
+    problems = convert.validate_against(
+        variables, {"params": params, "batch_stats": stats}, strict=False)
+    assert problems == []
+
+
+def test_converter_detects_class_mismatch():
+    tm = _torch_model(in_ch=5, classes=13)
+    variables = _to_flax_variables(tm)
+    fm = FlairSegmentationModel(encoder_name="resnet34", classes=19)
+    params, stats = init_model(fm, (1, 32, 32, 5))
+    with pytest.raises(ValueError, match="segmentation_head"):
+        convert.validate_against(variables, {"params": params, "batch_stats": stats})
+
+
+def test_lightning_ckpt_prefix_and_mlp(tmp_path):
+    """.ckpt with model.seg_model.* + model.enc.* loads, criterion dropped."""
+    tm = _torch_model(in_ch=5, classes=13)
+    mlp = torch_ref.MetadataMLP()
+    sd = {f"model.seg_model.{k}": v for k, v in tm.state_dict().items()}
+    sd.update({f"model.{k}": v for k, v in mlp.state_dict(prefix="enc.").items()})
+    sd["criterion.weight"] = torch.ones(13)
+    ckpt = tmp_path / "epoch.ckpt"
+    torch.save({"state_dict": sd, "epoch": 3}, ckpt)
+
+    variables = convert.load_checkpoint_variables(ckpt)
+    assert "metadata_mlp" in variables["params"]
+    assert variables["params"]["metadata_mlp"]["fc0"]["kernel"].shape == (45, 64)
+    fm = FlairSegmentationModel(encoder_name="resnet34", classes=13, use_metadata=True)
+    params, stats = init_model(fm, (1, 512, 512, 5))
+    convert.validate_against(variables, {"params": params, "batch_stats": stats})
+
+
+def test_metadata_mlp_parity(rng):
+    """MLP output matches torch eval-mode forward after conversion."""
+    mlp = torch_ref.MetadataMLP().eval()
+    sd = {f"enc.{k}": v.detach().numpy() for k, v in mlp.state_dict().items()}
+    variables = convert.torch_to_flax(sd)
+    mtd = rng.standard_normal((4, 45), dtype=np.float32)
+    with torch.no_grad():
+        want = mlp(torch.from_numpy(mtd)).numpy()
+
+    from flairtpu.models.metadata_mlp import MetadataMLP
+
+    got = MetadataMLP().apply(
+        {"params": variables["params"]["metadata_mlp"]}, jnp.asarray(mtd), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_metadata_fusion_matches_reference_repeat(rng):
+    """Fusion rule == torch unsqueeze/repeat broadcast (model.py:56-62)."""
+    from flairtpu.models.metadata_mlp import fuse_metadata
+
+    feats = rng.standard_normal((2, 16, 16, 512), dtype=np.float32)
+    emb = rng.standard_normal((2, 16), dtype=np.float32)
+    t_feats = torch.from_numpy(np.moveaxis(feats, -1, 1).copy())  # NCHW
+    t_emb = torch.from_numpy(emb)
+    t_fused = t_feats + t_emb.unsqueeze(1).unsqueeze(-1).repeat(1, 512, 1, 16)
+    got = fuse_metadata(jnp.asarray(feats), jnp.asarray(emb))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 1), t_fused.numpy(), atol=1e-6)
+
+
+def test_checkpoint_num_classes():
+    tm = _torch_model(classes=15)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    assert convert.checkpoint_num_classes(sd) == 15
+
+
+def test_factory_from_config():
+    cfg = {
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_unet"},
+        },
+        "classes": {i: [1, str(i)] for i in range(1, 14)},
+        "use_metadata": False,
+    }
+    m = create_model(cfg)
+    assert m.classes == 13 and m.encoder_name == "resnet34"
+    with pytest.raises(NotImplementedError):
+        create_model({
+            "model_framework": {
+                "model_provider": "SegmentationModelsPytorch",
+                "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_fpn"},
+            },
+            "n_classes": 3,
+        })
+
+
+def test_resnet50_bottleneck_shapes():
+    fm = FlairSegmentationModel(encoder_name="resnet50", classes=5)
+    params, stats = init_model(fm, (1, 64, 64, 3))
+    out = fm.apply({"params": params, "batch_stats": stats},
+                   jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 64, 64, 5)
