@@ -1,0 +1,112 @@
+"""Headline benchmark: zone-detect throughput (512x512 5-ch patches/sec/chip).
+
+Runs the production flair-detect path end-to-end on a synthetic 4096x4096
+5-channel GeoTIFF: threaded host TIFF decode -> bf16 ResNet34-U-Net forward
+(19 classes) -> fused margin-crop/softmax/argmax on device -> uint8 D2H ->
+exact-clipping stitch -> tiled LZW raster written. FLAIR production geometry:
+512-pixel tiles, 128-pixel margin, stride 256.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 55.0 — an estimate of the reference pipeline's
+single-GPU throughput ceiling (fp32 resnet34-unet 512^2 forward on a V100-class
+GPU serialized against per-patch GDAL reads/writes; the reference repo
+publishes no throughput numbers, SURVEY.md §6). The BASELINE.json target is
+vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REF_PATCHES_PER_SEC = 55.0  # estimated reference GPU pipeline throughput
+
+ZONE = 4096
+SIZE, MARGIN = 512, 128
+N_CLASSES = 19
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+
+
+def _zone_path() -> Path:
+    cache = Path(__file__).parent / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+    p = cache / f"zone_{ZONE}.tif"
+    if not p.exists():
+        from flairtpu.io.tiff import Affine, write_array
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, size=(5, ZONE, ZONE)).astype(np.uint8)
+        write_array(p, img, transform=Affine.from_origin(700000, 6600000, 0.2, 0.2),
+                    crs=2154, compress="deflate", blockxsize=512, blockysize=512)
+    return p
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from flairtpu.io import TiffReader, TiffWriter
+    from flairtpu.models.factory import create_model, init_model
+    from flairtpu.zone.engine import ZoneEngine, _make_writer
+    from flairtpu.zone.grid import slice_grid
+    from flairtpu.zone.stitch import make_stitcher
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+
+    config = {
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_unet"},
+        },
+        "channels": [1, 2, 3, 4, 5],
+        "img_pixels_detection": SIZE,
+        "margin": MARGIN,
+        "output_type": "argmax",
+        "n_classes": N_CLASSES,
+        "batch_size": BATCH,
+        "num_worker": int(os.environ.get("BENCH_WORKERS", "8")),
+        "norma_task": [{"norm_type": "scaling", "norm_means": [], "norm_stds": []}],
+    }
+    model = create_model(config, dtype=dtype)
+    params, batch_stats = init_model(model, (1, SIZE, SIZE, 5))
+    engine = ZoneEngine(config, model, params, batch_stats)
+
+    zone = _zone_path()
+    out_path = zone.parent / "bench_out.tif"
+    stride = SIZE - 2 * MARGIN
+
+    with TiffReader(zone, cache_blocks=256) as reader:
+        grid = slice_grid(reader.width, reader.height, SIZE, MARGIN, stride,
+                          reader.transform, reader.crs)
+        # warmup: compile the device program on one batch
+        fn = engine.device_fn("cropped_argmax")
+        warm = np.zeros((BATCH, SIZE, SIZE, 5), np.uint8)
+        r = fn(jnp.asarray(warm))
+        jax.block_until_ready(r)
+
+        t0 = time.perf_counter()
+        writer = _make_writer(config, reader, str(out_path))
+        stitcher = make_stitcher("exact-clipping", writer, grid, config)
+        stats = engine.run(reader, grid, stitcher)
+        writer.close()
+        total = time.perf_counter() - t0
+
+    out_path.unlink(missing_ok=True)
+    pps = stats["tiles"] / total
+    print(json.dumps({
+        "metric": f"zone-detect 512^2 5-ch patches/sec/chip ({backend}, "
+                  f"{stats['tiles']} tiles incl. raster write)",
+        "value": round(pps, 2),
+        "unit": "patches/sec",
+        "vs_baseline": round(pps / REF_PATCHES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Checkpointing: best/last/resume + weights-only init with class surgery.
+
+Reproduces the reference's three mechanisms (SURVEY.md §5.4):
+
+1. best/last checkpoints during training, monitored metric + min/max mode
+   (reference tasks.py:47-56) — Orbax directories named with the reference's
+   ``ckpt-{epoch:02d}-{val_loss:.2f}_{name}`` pattern;
+2. full resume (params + opt state + scheduler + epoch, tasks.py:96-101);
+3. weights-only init from a .ckpt/.pth with class-count surgery: when the
+   checkpoint's class count differs, mismatched segmentation-head tensors are
+   zeroed and everything else loads (reference flair/main.py:106-138).
+
+Native checkpoints are Orbax (async-capable, multi-host safe); torch artifacts
+load through flairtpu.models.convert.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from flairtpu.models import convert
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Best/last checkpoint writer with the reference's naming + monitor rules."""
+
+    def __init__(self, out_dir: str | Path, model_name: str = "model",
+                 monitor: str = "val_loss", mode: str = "min",
+                 save_last: bool = True, weights_only: bool = False):
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.model_name = model_name
+        self.monitor = monitor
+        self.mode = mode
+        self.save_last = save_last
+        self.weights_only = weights_only
+        self.best_metric: float | None = None
+        self.best_path: Path | None = None
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _is_better(self, value: float) -> bool:
+        if self.best_metric is None:
+            return True
+        return value < self.best_metric if self.mode == "min" else value > self.best_metric
+
+    def _save(self, path: Path, state: dict):
+        if path.exists():
+            shutil.rmtree(path)
+        payload = dict(state)
+        if self.weights_only:
+            payload = {k: payload[k] for k in ("params", "batch_stats") if k in payload}
+        self._ckpt.save(path.resolve(), _to_host(payload))
+        self._ckpt.wait_until_finished()
+
+    def on_epoch_end(self, epoch: int, metrics: dict[str, float], state: dict) -> bool:
+        """Save best (and last); returns True if this epoch became the best."""
+        value = float(metrics[self.monitor])
+        is_best = self._is_better(value)
+        if is_best:
+            self.best_metric = value
+            name = f"ckpt-{epoch:02d}-{value:.2f}_{self.model_name}"
+            new_best = self.out_dir / name
+            self._save(new_best, dict(state, epoch=epoch, **metrics))
+            if self.best_path is not None and self.best_path.exists() \
+                    and self.best_path != new_best:
+                shutil.rmtree(self.best_path)  # save_top_k=1
+            self.best_path = new_best
+            (self.out_dir / "best").write_text(name)
+        if self.save_last:
+            self._save(self.out_dir / "last", dict(state, epoch=epoch, **metrics))
+        return is_best
+
+    def restore(self, path: str | Path, like: dict) -> dict:
+        return self._ckpt.restore(Path(path).resolve(), target=_to_host(like))
+
+    def restore_best(self, like: dict) -> dict:
+        if self.best_path is None:
+            marker = self.out_dir / "best"
+            if marker.exists():
+                self.best_path = self.out_dir / marker.read_text().strip()
+        if self.best_path is None:
+            raise FileNotFoundError(f"no best checkpoint under {self.out_dir}")
+        return self.restore(self.best_path, like)
+
+
+def save_weights_msgpack(path: str | Path, params, batch_stats) -> None:
+    """Weights-only export (.msgpack) loadable by zone-detect."""
+    from flax import serialization
+
+    payload = {"params": _to_host(params), "batch_stats": _to_host(batch_stats)}
+    Path(path).write_bytes(serialization.msgpack_serialize(payload))
+
+
+def load_weights_msgpack(path: str | Path) -> dict:
+    from flax import serialization
+
+    return serialization.msgpack_restore(Path(path).read_bytes())
+
+
+def load_pretrained(path: str | Path, reference_variables: dict,
+                    strict: bool = True) -> dict:
+    """Load torch (.pth/.ckpt) or native (.msgpack) weights as Flax variables."""
+    p = str(path)
+    if p.endswith((".pth", ".pt", ".ckpt")):
+        return convert.load_checkpoint_variables(p, reference_variables, strict=strict)
+    if p.endswith((".msgpack", ".flax")):
+        variables = load_weights_msgpack(p)
+        if strict:
+            convert.validate_against(variables, reference_variables, strict=True)
+        return variables
+    raise ValueError(f"unsupported weights file {p!r} (.pth/.ckpt/.msgpack)")
+
+
+def init_weights_with_surgery(path: str | Path, reference_variables: dict,
+                              verbose: bool = True) -> dict:
+    """Weights-only init tolerating a class-count mismatch.
+
+    Mirrors reference flair/main.py:120-138: tensors whose shapes disagree with
+    the model (the segmentation head when class counts differ) are replaced by
+    zeros of the model's shape; all matching tensors load.
+    """
+    p = str(path)
+    if Path(p).is_dir():  # native Orbax checkpoint (best/last dirs)
+        raw = ocp.StandardCheckpointer().restore(Path(p).resolve())
+        loaded = {k: raw[k] for k in ("params", "batch_stats") if k in raw}
+    elif p.endswith((".pth", ".pt", ".ckpt")):
+        loaded = convert.torch_to_flax(
+            convert.normalize_keys(convert.load_torch_state_dict(p)))
+    else:
+        loaded = load_weights_msgpack(p)
+
+    surgeries: list[str] = []
+
+    def merge(ref, got, path=()):
+        if not isinstance(ref, dict):
+            if got is None or tuple(np.shape(got)) != tuple(np.shape(ref)):
+                surgeries.append("/".join(path))
+                return np.zeros_like(np.asarray(ref))
+            return got
+        return {k: merge(v, (got or {}).get(k), path + (k,)) for k, v in ref.items()}
+
+    out = {
+        coll: merge(reference_variables.get(coll, {}), loaded.get(coll, {}), (coll,))
+        for coll in ("params", "batch_stats")
+    }
+    if verbose and surgeries:
+        print("[ckpt surgery] zero-initialized (shape mismatch or missing):")
+        for s in surgeries:
+            print(f"    - {s}")
+    return out
+
+
+def write_history(out_dir: str | Path, history: list[dict]) -> None:
+    Path(out_dir, "history.json").write_text(json.dumps(history, indent=2))

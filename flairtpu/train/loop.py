@@ -1,0 +1,357 @@
+"""Jitted SPMD training/eval loop — the pytorch-lightning Trainer replacement.
+
+Semantics map (reference -> here):
+
+- Trainer.fit + DDP (tasks.py:83-104)      -> jit-compiled train step over a
+  device mesh; batch sharded on the 'data' axis, params replicated, gradient
+  all-reduce inserted by XLA over ICI.
+- training_step/step (task_module.py:65-86) -> weighted CE on integer targets
+  (the reference argmaxes its own one-hot masks back, task_module.py:71);
+  out-of-range mask values map to class 0 exactly like an all-zero one-hot row.
+- torchmetrics epoch metrics (task_module.py:31-59) -> one confusion matrix
+  accumulated on device per epoch; weighted/per-class Jaccard derive from it.
+- augmentations in DataLoader workers (tasks_utils.py:37-41) -> fused D4 ops
+  on device inside the train step.
+- ReduceLROnPlateau + SGD (tasks_utils.py:95-104) -> optax SGD with injected
+  LR driven by a host-side plateau controller (no retrace on LR change).
+- batchnorm/batch-size guard (tasks.py:14-30) -> fit() raises on batch_size=1.
+
+The step computes in bf16 on TPU (fp32 elsewhere and for all BN statistics,
+loss and metrics).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flairtpu import config as cfgmod
+from flairtpu.data.augment import augment_batch
+from flairtpu.data.normalize import normalize_device
+from flairtpu.data.patches import PatchDataset, PatchLoader
+from flairtpu.models.factory import create_model, init_model
+from flairtpu.ops.confmat import confusion_matrix, per_class_jaccard, weighted_jaccard
+from flairtpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from flairtpu.train import checkpoints as ckpt_lib
+from flairtpu.train.logging import MetricsLogger
+from flairtpu.train.optim import EarlyStopping, ReduceLROnPlateau, make_optimizer, set_learning_rate
+from flairtpu.utils.logger import seed_everything
+
+
+def default_compute_dtype():
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+@dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch: int = 0
+
+    def as_dict(self) -> dict:
+        return {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state}
+
+
+class SegmentationTrainer:
+    """Builds the model + jitted steps from a validated train config."""
+
+    def __init__(self, config: dict, mesh=None, dtype=None):
+        self.config = config
+        if mesh is None:
+            # the data axis must divide the global batch; use the largest
+            # divisor of batch_size that fits the device count
+            ndev = len(jax.devices())
+            bs = int(config.get("batch_size", ndev))
+            n_data = max(d for d in range(1, ndev + 1) if bs % d == 0 or d == 1)
+            while bs % n_data:
+                n_data -= 1
+            mesh = make_mesh(devices=jax.devices()[:n_data])
+        self.mesh = mesh
+        self.dtype = dtype or default_compute_dtype()
+        self.num_classes = cfgmod.num_classes(config)
+        self.use_metadata = bool(config.get("use_metadata", False))
+        self.use_augmentation = bool(config.get("use_augmentation", False))
+        weights = cfgmod.class_weights(config) if config.get("use_weights", True) \
+            else [1.0] * self.num_classes
+        self.class_weights = jnp.asarray(weights, jnp.float32)
+        self.norm = dict(
+            norm_type=config.get("norm_type", "scaling"),
+            means=tuple(config.get("norm_means") or ()),
+            stds=tuple(config.get("norm_stds") or ()),
+        )
+        self.model = create_model(config, dtype=self.dtype)
+        init_hw = 512 if self.use_metadata else 64
+        n_ch = len(config["channels"])
+        self.params, self.batch_stats = init_model(
+            self.model, (1, init_hw, init_hw, n_ch), seed=config.get("seed", 2022))
+        self.tx = make_optimizer(float(config.get("learning_rate", 0.02)))
+        self.opt_state = self.tx.init(self.params)
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+
+    # -- state plumbing --
+
+    def state(self) -> TrainState:
+        return TrainState(self.params, self.batch_stats, self.opt_state)
+
+    def load_state(self, state_dict: dict):
+        self.params = state_dict["params"]
+        self.batch_stats = state_dict["batch_stats"]
+        if "opt_state" in state_dict and state_dict["opt_state"] is not None:
+            self.opt_state = state_dict["opt_state"]
+
+    def replicate_to_mesh(self):
+        rep = replicate(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.batch_stats = jax.device_put(self.batch_stats, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+
+    # -- loss --
+
+    def _loss(self, logits: jax.Array, targets: jax.Array):
+        """torch CrossEntropyLoss(weight=w) parity: weighted mean NLL."""
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        w = self.class_weights[targets]
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+    def _clean_targets(self, msk: jax.Array) -> jax.Array:
+        # out-of-range classes -> 0, matching argmax of an all-zero one-hot row
+        # (reference data_loader.py:65-69 + task_module.py:71)
+        return jnp.where((msk >= 0) & (msk < self.num_classes), msk, 0)
+
+    def _apply(self, variables, x, mtd, train, rngs=None, mutable=False):
+        args = (x, mtd) if self.use_metadata else (x,)
+        return self.model.apply(variables, *args, train=train, rngs=rngs,
+                                mutable=["batch_stats"] if mutable else False)
+
+    # -- steps --
+
+    def train_step(self):
+        if self._train_step is not None:
+            return self._train_step
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, batch_stats, opt_state, img, msk, mtd, rng):
+            aug_key, dropout_key = jax.random.split(rng)
+            tgt = self._clean_targets(msk)
+            if self.use_augmentation:
+                img, tgt = augment_batch(img, tgt, aug_key)
+            x = normalize_device(img, src_dtype=np.uint8, **self.norm)
+
+            def loss_fn(p):
+                out, mut = self._apply(
+                    {"params": p, "batch_stats": batch_stats}, x, mtd,
+                    train=True, rngs={"dropout": dropout_key}, mutable=True)
+                return self._loss(out, tgt), (mut["batch_stats"], out)
+
+            (loss, (new_stats, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = confusion_matrix(preds, tgt, self.num_classes)
+            return params, new_stats, new_opt, loss, cm
+
+        self._train_step = step
+        return step
+
+    def eval_step(self):
+        if self._eval_step is not None:
+            return self._eval_step
+
+        @jax.jit
+        def step(params, batch_stats, img, msk, mtd):
+            tgt = self._clean_targets(msk)
+            x = normalize_device(img, src_dtype=np.uint8, **self.norm)
+            logits = self._apply({"params": params, "batch_stats": batch_stats},
+                                 x, mtd, train=False)
+            loss = self._loss(logits, tgt)
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, confusion_matrix(preds, tgt, self.num_classes)
+
+        self._eval_step = step
+        return step
+
+    def predict_step(self):
+        if self._predict_step is not None:
+            return self._predict_step
+
+        @jax.jit
+        def step(params, batch_stats, img, mtd):
+            x = normalize_device(img, src_dtype=np.uint8, **self.norm)
+            logits = self._apply({"params": params, "batch_stats": batch_stats},
+                                 x, mtd, train=False)
+            # softmax then argmax == argmax of logits (task_module.py:206-213)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        self._predict_step = step
+        return step
+
+    # -- batch plumbing --
+
+    def _put(self, batch: dict) -> tuple:
+        b = shard_batch(batch, self.mesh)
+        mtd = b.get("mtd")
+        if self.use_metadata and mtd is None:
+            raise ValueError("use_metadata=True but the batch has no 'mtd'")
+        if not self.use_metadata:
+            mtd = jnp.zeros((batch["img"].shape[0], 45), jnp.float32)
+        return b["img"], b.get("msk"), mtd
+
+
+def _epoch_metrics(loss_sum: float, n_batches: int, cm: np.ndarray) -> dict:
+    miou = float(weighted_jaccard(jnp.asarray(cm)))
+    return {"loss": loss_sum / max(n_batches, 1), "miou": miou}
+
+
+def evaluate(trainer: SegmentationTrainer, loader: PatchLoader) -> dict:
+    step = trainer.eval_step()
+    loss_sum, nb = 0.0, 0
+    cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
+    for batch in loader:
+        img, msk, mtd = trainer._put(batch)
+        loss, bcm = step(trainer.params, trainer.batch_stats, img, msk, mtd)
+        loss_sum += float(loss)
+        cm += np.asarray(bcm, np.int64)
+        nb += 1
+    m = _epoch_metrics(loss_sum, nb, cm)
+    return {"val_loss": m["loss"], "val_miou": m["miou"], "confmat": cm}
+
+
+def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
+        trainer: SegmentationTrainer | None = None,
+        progress: Callable[[str], None] = print) -> tuple[SegmentationTrainer, dict]:
+    """Full training stage (reference flair/main.py:150-185 + tasks.py:34-110)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    seed = int(config.get("seed", 2022))
+    seed_everything(seed)
+
+    batch_size = int(config["batch_size"])
+    if batch_size == 1:
+        raise SystemExit(
+            "batch_size=1 with BatchNorm models is unsupported (reference "
+            "tasks.py:14-30 aborts for the same reason); use batch_size >= 2.")
+
+    trainer = trainer or SegmentationTrainer(config)
+    channels = config["channels"]
+    train_ds = PatchDataset(dict_train, channels, use_metadata=trainer.use_metadata)
+    val_ds = PatchDataset(dict_val, channels, use_metadata=trainer.use_metadata)
+    nw = int(config.get("num_workers", 4))
+    train_loader = PatchLoader(train_ds, batch_size, shuffle=True, seed=seed,
+                               drop_last=True, num_workers=nw)
+    val_loader = PatchLoader(val_ds, batch_size, shuffle=False, drop_last=True,
+                             num_workers=nw)
+
+    # checkpoint / resume wiring (reference flair/main.py:150-175 semantics)
+    tasks = config.get("tasks", {})
+    train_tasks = tasks.get("train_tasks", {})
+    ckpt_path = config.get("paths", {}).get("ckpt_model_path") or ""
+    manager = ckpt_lib.CheckpointManager(
+        out_dir, model_name=config.get("paths", {}).get("out_model_name") or "model",
+        monitor=config.get("ckpt_monitor", "val_loss"),
+        mode=config.get("ckpt_monitor_mode", "min"),
+        save_last=bool(config.get("ckpt_save_also_last", True)),
+        weights_only=bool(config.get("ckpt_weights_only", False)))
+
+    start_epoch = 0
+    if train_tasks.get("init_weights_only_from_ckpt") and ckpt_path:
+        variables = ckpt_lib.init_weights_with_surgery(
+            ckpt_path, {"params": trainer.params, "batch_stats": trainer.batch_stats})
+        trainer.load_state(variables)
+        progress(f"    [x] initialized weights from {ckpt_path}")
+    elif train_tasks.get("resume_training_from_ckpt") and ckpt_path:
+        like = dict(trainer.state().as_dict(), epoch=0, val_loss=0.0, val_miou=0.0,
+                    train_loss=0.0, train_miou=0.0)
+        restored = manager.restore(ckpt_path, like)
+        trainer.load_state(restored)
+        start_epoch = int(restored.get("epoch", -1)) + 1
+        progress(f"    [x] resumed from {ckpt_path} at epoch {start_epoch}")
+
+    trainer.replicate_to_mesh()
+    plateau = ReduceLROnPlateau(lr=float(config.get("learning_rate", 0.02)))
+    stopper = EarlyStopping(
+        monitor_mode=config.get("ckpt_monitor_mode", "min"),
+        patience=int(config.get("ckpt_earlystopping_patience", 30)))
+    logger = MetricsLogger(out_dir)
+    class_names = cfgmod.class_names(config)
+    class_w = cfgmod.class_weights(config)
+
+    step = trainer.train_step()
+    base_rng = jax.random.PRNGKey(seed)
+    history: list[dict] = []
+    t_start = time.time()
+    global_step = 0
+
+    num_epochs = int(config.get("num_epochs", 1))
+    for epoch in range(start_epoch, num_epochs):
+        loss_sum, nb = 0.0, 0
+        cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
+        for batch in train_loader:
+            img, msk, mtd = trainer._put(batch)
+            rng = jax.random.fold_in(base_rng, global_step)
+            trainer.params, trainer.batch_stats, trainer.opt_state, loss, bcm = step(
+                trainer.params, trainer.batch_stats, trainer.opt_state,
+                img, msk, mtd, rng)
+            loss_sum += float(loss)
+            cm += np.asarray(bcm, np.int64)
+            nb += 1
+            global_step += 1
+        tm = _epoch_metrics(loss_sum, nb, cm)
+
+        vm = evaluate(trainer, val_loader)
+        per_class = np.asarray(per_class_jaccard(jnp.asarray(vm["confmat"])))
+
+        scalars = {"train_loss": tm["loss"], "train_miou": tm["miou"],
+                   "val_loss": vm["val_loss"], "val_miou": vm["val_miou"],
+                   "lr": plateau.lr}
+        for name, w, iou in zip(class_names, class_w, per_class):
+            if w != 0:
+                scalars[f"val_iou_{name}"] = float(iou)
+        logger.log(epoch, scalars)
+        progress(
+            f"    epoch {epoch + 1}/{num_epochs}  train_loss={tm['loss']:.4f} "
+            f"val_loss={vm['val_loss']:.4f} val_miou={vm['val_miou']:.4f} "
+            f"lr={plateau.lr:.2e}")
+
+        metrics = {"val_loss": vm["val_loss"], "val_miou": vm["val_miou"],
+                   "train_loss": tm["loss"], "train_miou": tm["miou"]}
+        manager.on_epoch_end(epoch, metrics, trainer.state().as_dict())
+        history.append({"epoch": epoch, **metrics})
+
+        new_lr = plateau.step(metrics[manager.monitor]
+                              if manager.monitor in metrics else vm["val_loss"])
+        trainer.opt_state = set_learning_rate(trainer.opt_state, new_lr)
+        if stopper.step(metrics.get(manager.monitor, vm["val_loss"])):
+            progress(f"    [x] early stopping at epoch {epoch + 1}")
+            break
+
+    elapsed = time.time() - t_start
+    progress(f"    [x] training time: "
+             f"{int(elapsed // 3600):02d}:{int(elapsed % 3600 // 60):02d}:{int(elapsed % 60):02d}")
+    ckpt_lib.write_history(out_dir, history)
+    logger.close()
+
+    # reload best weights (reference flair/main.py:175)
+    if manager.best_path is not None:
+        like = dict(trainer.state().as_dict(), epoch=0, val_loss=0.0, val_miou=0.0,
+                    train_loss=0.0, train_miou=0.0)
+        if manager.weights_only:
+            like = {k: like[k] for k in ("params", "batch_stats")}
+        best = manager.restore_best(like)
+        trainer.load_state(best)
+        progress(f"    [x] restored best checkpoint: {manager.best_path.name}")
+    return trainer, {"history": history, "best_path": str(manager.best_path),
+                     "seconds": elapsed}

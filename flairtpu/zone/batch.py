@@ -1,0 +1,48 @@
+"""Department batch mode: -b flag (reference zone_detect/main.py:440-497).
+
+Iterates zone directories under input_path, matches truth rasters per zone,
+runs the zone pipeline for each, then aggregates per-method metrics into one
+JSON via batch_metrics.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from flairtpu.zone.zone_metrics import batch_metrics
+
+
+def batch_metrics_pipeline(config: dict) -> None:
+    from flairtpu.zone.engine import run_pipeline
+
+    out_json = Path(config["metrics_out"])
+    data_type = config.get("data_type", "")
+    file_pattern = f"*{data_type}.tif"
+    assert out_json, "Please provide an output path for the metrics"
+
+    truth_root = Path(config["truth_root"])
+    truth_dpt = truth_root / Path(config["truth_path"]).parts[-3]
+
+    inputs_dpt = Path(config["input_path"])
+    for full_zone in sorted(p for p in inputs_dpt.iterdir() if p.is_dir()):
+        img_path = next(full_zone.glob(file_pattern), None)
+        if img_path is None:
+            continue
+        zone = img_path.parts[-2]
+        truth_path = next((truth_dpt / zone).glob("*.tif"), None)
+        if truth_path is None:
+            print(f"No ground truth found for zone: {zone}")
+            continue
+        config.update({
+            "input_img_path": str(img_path),
+            "truth_path": str(truth_path),
+            "output_name": f"{img_path.stem}-ARGMAX-S",
+        })
+        run_pipeline(config)
+
+    metrics_file = batch_metrics(config, truth_dpt)
+    out = out_json.with_suffix(".json")
+    with open(out, "w") as f:
+        json.dump(metrics_file, f)
+    print(f"Metrics saved to {out}")

@@ -1,0 +1,308 @@
+"""Zone inference engine: the perf-critical flair-detect pipeline.
+
+Rebuilds the reference hot loop (src/zone_detect/main.py:386-433: windowed
+GDAL read -> H2D -> forward -> full softmax D2H -> numpy crop -> serial GDAL
+write per patch) as a TPU pipeline:
+
+- host reader threads decode tile windows from the first-party TIFF codec
+  (thread-safe block cache shares decodes between overlapping tiles);
+- one jitted device program per payload kind fuses normalize -> encoder/decoder
+  forward (bf16 on the MXU) -> margin crop -> softmax/argmax/confidence (Pallas
+  on TPU) -> uint8 pack, so the D2H transfer is 2 uint8 planes per tile
+  instead of K float32 planes;
+- batches are real batches with a padded tail (one compiled shape);
+- reads, device compute, and stitcher writes overlap via a bounded queue;
+- the output raster is written once at close (tiled BigTIFF, parallel
+  compression) instead of per-patch read-modify-write.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import queue
+import sys
+import threading
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flairtpu import config as cfgmod
+from flairtpu.data.normalize import normalize_device
+from flairtpu.io import TiffReader, TiffWriter, Window
+from flairtpu.models.factory import create_model, init_model
+from flairtpu.ops.fused import softmax_argmax
+from flairtpu.train.checkpoints import load_pretrained
+from flairtpu.train.loop import default_compute_dtype
+from flairtpu.utils.logger import tee_stdout, untee_stdout
+from flairtpu.zone.grid import TileGrid, get_stride, slice_grid
+from flairtpu.zone.stitch import make_stitcher
+
+
+# ---------------------------------------------------------------------------
+# model preparation (reference zone_detect/model.py:61-88 + main.py:186-203)
+# ---------------------------------------------------------------------------
+
+def prepare_model(config: dict, dtype=None):
+    dtype = dtype or default_compute_dtype()
+    model = create_model(config, dtype=dtype)
+    n_ch = len(config["channels"])
+    params, batch_stats = init_model(model, (1, 64, 64, n_ch))
+    variables = load_pretrained(
+        config["model_weights"], {"params": params, "batch_stats": batch_stats},
+        strict=True)
+    print("    [x] loaded model and weights...")
+    return model, variables["params"], variables["batch_stats"]
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class ZoneEngine:
+    def __init__(self, config: dict, model, params, batch_stats):
+        self.config = config
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.size = int(config["img_pixels_detection"])
+        self.margin = int(config["margin"])
+        self.batch_size = int(config.get("batch_size", 4))
+        norma = config["norma_task"][0]
+        self.norm = dict(norm_type=norma["norm_type"],
+                         means=tuple(norma.get("norm_means") or ()),
+                         stds=tuple(norma.get("norm_stds") or ()))
+        self.channels = config["channels"]
+        self._fns: dict[str, callable] = {}
+
+    # -- jitted device programs, one per payload kind --
+
+    def _forward(self, img_u8):
+        x = normalize_device(img_u8, src_dtype=np.uint8, **self.norm)
+        return self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats}, x, train=False)
+
+    def device_fn(self, kind: str):
+        if kind in self._fns:
+            return self._fns[kind]
+        m, s = self.margin, self.size
+
+        if kind == "cropped_argmax":
+            def fn(img):
+                logits = self._forward(img)[:, m : s - m, m : s - m, :]
+                cls, prob = softmax_argmax(logits)
+                return cls.astype(jnp.uint8), jnp.round(prob * 255).astype(jnp.uint8)
+        elif kind == "cropped_probs":
+            def fn(img):
+                logits = self._forward(img)[:, m : s - m, m : s - m, :]
+                probs = jax.nn.softmax(logits, axis=-1)
+                return jnp.round(probs * 255).astype(jnp.uint8).transpose(0, 3, 1, 2)
+        elif kind == "full_probs":
+            def fn(img):
+                probs = jax.nn.softmax(self._forward(img), axis=-1)
+                return probs.transpose(0, 3, 1, 2)  # (B, K, S, S) f32
+        elif kind == "full_argmax":
+            def fn(img):
+                cls, prob = softmax_argmax(self._forward(img))
+                return cls.astype(jnp.uint8), prob
+        else:
+            raise ValueError(kind)
+        jfn = jax.jit(fn)
+        self._fns[kind] = jfn
+        return jfn
+
+    # -- host pipeline --
+
+    def _read_batches(self, reader: TiffReader, grid: TileGrid, out_q: queue.Queue,
+                      num_workers: int):
+        """Producer: decode tile windows into padded batches."""
+        S, B = self.size, self.batch_size
+        tiles = grid.tiles
+
+        def read_tile(t):
+            win = Window(t.col0, t.row0, S, S)
+            arr = reader.read(self.channels, window=win, boundless=True)
+            return np.moveaxis(arr, 0, -1)  # (S, S, C)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            for i in range(0, len(tiles), B):
+                chunk = tiles[i : i + B]
+                imgs = list(ex.map(read_tile, chunk))
+                n = len(imgs)
+                while len(imgs) < B:  # pad tail to the compiled shape
+                    imgs.append(imgs[-1])
+                out_q.put((chunk[:n], np.stack(imgs)))
+        out_q.put(None)
+
+    def run(self, reader: TiffReader, grid: TileGrid, stitcher,
+            progress=None) -> dict:
+        fn = self.device_fn(stitcher.needs)
+        num_workers = max(int(self.config.get("num_worker", 2)), 1)
+        q: queue.Queue = queue.Queue(maxsize=4)
+        producer = threading.Thread(
+            target=self._read_batches, args=(reader, grid, q, num_workers),
+            daemon=True)
+        t0 = time.perf_counter()
+        producer.start()
+
+        n_tiles = 0
+        patch_times_ms: list[float] = []
+        pending = None  # (tiles, device result) — overlap D2H with next dispatch
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            tiles, imgs = item
+            result = fn(jnp.asarray(imgs))
+            if pending is not None:
+                self._drain(pending, stitcher, patch_times_ms, t0)
+                n_tiles += len(pending[0])
+            pending = (tiles, result)
+            if progress:
+                progress(len(tiles))
+        if pending is not None:
+            self._drain(pending, stitcher, patch_times_ms, t0)
+            n_tiles += len(pending[0])
+        stitcher.finalize()
+        seconds = time.perf_counter() - t0
+        return {"tiles": n_tiles, "seconds": seconds,
+                "patches_per_sec": n_tiles / seconds if seconds else 0.0,
+                "patch_times_ms": patch_times_ms}
+
+    def _drain(self, pending, stitcher, patch_times_ms, t0):
+        tiles, result = pending
+        if isinstance(result, tuple):
+            host = tuple(np.asarray(r) for r in result)
+            payloads = [tuple(h[i] for h in host) for i in range(len(tiles))]
+        else:
+            host = np.asarray(result)
+            payloads = [host[i] for i in range(len(tiles))]
+        now_ms = (time.perf_counter() - t0) * 1000.0
+        for t, p in zip(tiles, payloads):
+            stitcher.add(t, p)
+            patch_times_ms.append(now_ms)
+
+
+# ---------------------------------------------------------------------------
+# pipeline orchestration (reference main.py:244-436)
+# ---------------------------------------------------------------------------
+
+def setup_out_path(config: dict) -> dict:
+    out = Path(config["output_path"])
+    out.mkdir(parents=True, exist_ok=True)
+    child = out
+    if config.get("compare"):
+        child = out / datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        child.mkdir(parents=True, exist_ok=True)
+        print(f"Creating output directory: {child}")
+    config["local_out"] = str(child)
+    return config
+
+
+def setup_indiv_path(config: dict, identifier: str = "") -> str:
+    """Collision-avoiding output path (reference utils.py:256-279)."""
+    out_name = config["output_name"] + identifier
+    if not out_name.endswith(".tif"):
+        out_name += ".tif"
+    path = Path(config["local_out"]) / out_name
+    stem, ext = path.stem, path.suffix
+    counter = 1
+    while path.exists():
+        path = path.with_name(f"{stem}_{counter}{ext}")
+        counter += 1
+    return str(path)
+
+
+def conf_log(config: dict, reader: TiffReader) -> None:
+    mf = config["model_framework"]
+    provider = mf["model_provider"]
+    tpl = mf.get(provider, {})
+    model_template = f"{provider} - " + str(
+        tpl.get("org_model") or tpl.get("encoder_decoder") or "?")
+    print(f"""
+    |- output path: {config['output_path']}
+    |- output raster name: {config['output_name']}
+
+    |- input image path: {config['input_img_path']}
+    |- channels: {config['channels']}
+    |- input image WxH: {reader.width, reader.height}
+    |- resolution: {reader.res}
+    |- number of classes: {config['n_classes']}
+    |- normalization: {config['norma_task'][0]['norm_type']}
+    |- output type: {config['output_type']}
+
+    |- model weights path: {config['model_weights']}
+    |- model template: {model_template}
+    |- device: {jax.default_backend()} x{len(jax.devices())}
+    |- batch size: {config['batch_size']}
+    """)
+
+
+def _make_writer(config: dict, reader: TiffReader, path_out: str) -> TiffWriter:
+    n_bands = 2 if config["output_type"] == "argmax" else int(config["n_classes"])
+    return TiffWriter(
+        path_out, reader.width, reader.height, n_bands, "uint8",
+        transform=reader.transform, crs=reader.crs,
+        compress="lzw", tiled=True,
+        blockxsize=config["img_pixels_detection"],
+        blockysize=config["img_pixels_detection"],
+        bigtiff="auto")
+
+
+def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
+               identifier: str = "") -> tuple[str, dict, TileGrid]:
+    """One (grid, stitcher, output raster) pass over the zone."""
+    size, margin = config["img_pixels_detection"], config["margin"]
+    with TiffReader(config["input_img_path"], cache_blocks=128) as reader:
+        grid = slice_grid(reader.width, reader.height, size, margin, stride,
+                          reader.transform, reader.crs)
+        if config.get("write_dataframe"):
+            gj = Path(config["local_out"]) / (
+                str(config["output_name"]).split(".tif")[0] + "_slicing_job.geojson")
+            gj.write_text(json.dumps(grid.to_geojson()))
+        conf_log(config, reader)
+        print(f"    [x] sliced input raster to {len(grid)} squares...")
+        path_out = setup_indiv_path(config, identifier)
+        writer = _make_writer(config, reader, path_out)
+        stitcher = make_stitcher(method, writer, grid, config)
+        print("    [ ] starting inference...\n")
+        stats = engine.run(reader, grid, stitcher)
+        writer.close()
+    print(f"    [X] done writing to {Path(path_out).name} raster file "
+          f"({stats['tiles']} tiles, {stats['patches_per_sec']:.1f} patches/s).\n")
+    return path_out, stats, grid
+
+
+def run_pipeline(config: dict) -> None:
+    """flair-detect entry (reference main.py:244-436)."""
+    config = setup_out_path(config)
+    local_out = Path(config["local_out"])
+    log_file = local_out / (
+        f"{config['output_name']}_"
+        f"{datetime.datetime.now().strftime('%Y%m%d_%H%M%S')}.log")
+    tee_stdout(str(log_file), capture_stderr=True)
+    print(f"    [LOGGER] Writing logs to: {log_file}")
+    try:
+        print(f"""
+    ##############################################
+    ZONE DETECTION
+    ##############################################
+
+    JAX backend: {jax.default_backend()}""")
+        model, params, batch_stats = prepare_model(config)
+        engine = ZoneEngine(config, model, params, batch_stats)
+
+        if config.get("compare"):
+            from flairtpu.zone.compare import run_compare
+
+            run_compare(config, engine)
+        else:
+            stride = get_stride(config)[0]
+            run_single(config, engine, stride, "exact-clipping")
+    finally:
+        untee_stdout()

@@ -1,0 +1,102 @@
+"""End-to-end train -> predict -> metrics on a synthetic toy dataset (CPU)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from flairtpu import config as cfgmod
+from flairtpu.data.manifest import gather_paths
+from flairtpu.eval.metrics import metrics as eval_metrics
+from flairtpu.io import TiffReader
+from flairtpu.predict.runner import predict
+from flairtpu.train.loop import SegmentationTrainer, evaluate, fit
+from tests.synth import toy_train_config
+
+
+@pytest.fixture(scope="module")
+def toy_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("toy")
+    config = cfgmod.validate_train_config(toy_train_config(tmp))
+    dict_train = gather_paths(config, "train")
+    dict_val = gather_paths(config, "val")
+    dict_test = gather_paths(config, "test")
+    out_dir = Path(config["paths"]["out_folder"], config["paths"]["out_model_name"])
+    trainer, info = fit(config, dict_train, dict_val, out_dir)
+    return config, trainer, info, out_dir, dict_test
+
+
+def test_training_improves_loss(toy_run):
+    _, _, info, _, _ = toy_run
+    h = info["history"]
+    assert len(h) == 4
+    assert h[-1]["train_loss"] < h[0]["train_loss"] * 1.05  # learning, not diverging
+    assert Path(info["best_path"]).exists()
+
+
+def test_checkpoints_layout(toy_run):
+    config, _, info, out_dir, _ = toy_run
+    best = Path(info["best_path"])
+    assert best.name.startswith("ckpt-") and best.name.endswith("_toy-model")
+    assert (out_dir / "last").exists()
+    assert (out_dir / "history.json").exists()
+    assert (out_dir / "metrics.jsonl").exists()
+
+
+def test_predict_and_metrics(toy_run):
+    config, trainer, _, out_dir, dict_test = toy_run
+    pred_dir = out_dir / "predictions_toy-model"
+    predict(config, dict_test, pred_dir, trainer)
+    preds = sorted(pred_dir.glob("PRED_*.tif"))
+    assert len(preds) == 4
+    with TiffReader(preds[0]) as r:
+        assert r.count == 1 and r.dtype.kind == "u"
+        assert r.crs == 2154  # georeferencing propagated from the input
+        arr = r.read(1)
+        assert arr.max() < len(config["classes"])
+
+    result = eval_metrics(config, pred_dir)
+    mfile = json.loads((out_dir / "metrics" / "metrics.json").read_text())
+    assert mfile["Avg_metrics_name"][0] == "mIoU"
+    # weight-0 class excluded from per-class listings
+    assert "class_3" not in mfile["classes"]
+    assert len(mfile["per_class_iou"]) == 3
+    confmat = np.load(out_dir / "metrics" / "confmat.npy")
+    assert confmat.shape == (4, 4)
+    # channel 0 encodes the class: even 2 epochs must beat random (25%) OA
+    assert mfile["Avg_metrics"][1] > 30.0
+
+
+def test_resume_from_last(toy_run, tmp_path):
+    config, _, info, out_dir, _ = toy_run
+    cfg = json.loads(json.dumps(config))  # deep copy
+    cfg["paths"]["out_folder"] = str(tmp_path / "resume_out")
+    cfg["paths"]["ckpt_model_path"] = str(out_dir / "last")
+    cfg["tasks"]["train_tasks"]["resume_training_from_ckpt"] = True
+    cfg["num_epochs"] = 5  # one more epoch after the 4 completed
+    dict_train = gather_paths(cfg, "train")
+    dict_val = gather_paths(cfg, "val")
+    trainer, info2 = fit(cfg, dict_train, dict_val,
+                         Path(cfg["paths"]["out_folder"], "toy-model"))
+    assert [h["epoch"] for h in info2["history"]] == [4]
+
+
+def test_init_weights_with_class_surgery(toy_run, tmp_path):
+    """Weights-only init from a ckpt with a different class count."""
+    config, _, info, out_dir, _ = toy_run
+    from flairtpu.train import checkpoints as ckpt_lib
+    from flairtpu.models.factory import init_model
+
+    cfg = json.loads(json.dumps(config))
+    cfg["classes"] = {i + 1: [1, f"c{i}"] for i in range(7)}  # 4 -> 7 classes
+    tr = SegmentationTrainer(cfg)
+    variables = ckpt_lib.init_weights_with_surgery(
+        str(out_dir / "last"),
+        {"params": tr.params, "batch_stats": tr.batch_stats}, verbose=False)
+    head = variables["params"]["segmentation_head"]["conv"]
+    assert head["kernel"].shape[-1] == 7
+    assert np.all(np.asarray(head["kernel"]) == 0)  # zeroed, reference semantics
+    # encoder weights survived
+    enc = variables["params"]["encoder"]["conv1"]["kernel"]
+    assert np.abs(np.asarray(enc)).sum() > 0
