@@ -80,25 +80,21 @@ def main() -> None:
     zone = _zone_path()
     out_path = zone.parent / "bench_out.tif"
     stride = SIZE - 2 * MARGIN
+    config["input_img_path"] = str(zone)
+    config["output_name"] = "bench_out"
+    config["output_path"] = str(zone.parent)
+    config["local_out"] = str(zone.parent)
+    config["write_dataframe"] = False
 
-    with TiffReader(zone, cache_blocks=256) as reader:
-        grid = slice_grid(reader.width, reader.height, SIZE, MARGIN, stride,
-                          reader.transform, reader.crs)
-        # warmup: compile the device program on one batch
-        fn = engine.device_fn("cropped_argmax")
-        warm = np.zeros((BATCH, SIZE, SIZE, 5), np.uint8)
-        r = fn(jnp.asarray(warm))
-        jax.block_until_ready(r)
+    from flairtpu.zone.engine import run_single
 
-        t0 = time.perf_counter()
-        writer = _make_writer(config, reader, str(out_path))
-        stitcher = make_stitcher("exact-clipping", writer, grid, config)
-        stats = engine.run(reader, grid, stitcher)
-        writer.close()
-        total = time.perf_counter() - t0
-
+    # first pass compiles the fused zone program; second pass is the measurement
+    warm_out, _, _ = run_single(config, engine, stride, "exact-clipping")
+    Path(warm_out).unlink(missing_ok=True)
+    path_out, stats, _ = run_single(config, engine, stride, "exact-clipping")
+    Path(path_out).unlink(missing_ok=True)
     out_path.unlink(missing_ok=True)
-    pps = stats["tiles"] / total
+    pps = stats["patches_per_sec"]
     print(json.dumps({
         "metric": f"zone-detect 512^2 5-ch patches/sec/chip ({backend}, "
                   f"{stats['tiles']} tiles incl. raster write)",

@@ -17,6 +17,7 @@ throughput) with fp32 parameters and fp32 logits.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -95,5 +96,7 @@ def init_model(model: FlairSegmentationModel, input_shape: tuple[int, ...],
     x = jnp.zeros(input_shape, jnp.float32)
     use_md = model.use_metadata if metadata is None else metadata
     args = (x, jnp.zeros((input_shape[0], 45), jnp.float32)) if use_md else (x,)
-    variables = model.init(rng, *args, train=False)
+    # jit the init: eager init dispatches hundreds of tiny ops, which is
+    # pathologically slow on remote/tunneled TPU backends (~100s vs ~2s)
+    variables = jax.jit(partial(model.init, train=False))(rng, *args)
     return variables["params"], variables.get("batch_stats", {})

@@ -1,0 +1,273 @@
+"""Device-resident zone inference: gather -> forward -> stitch entirely on-TPU.
+
+The flagship fast path (BASELINE.json north star: "fused tile-gather ->
+batched forward -> weighted-blend scatter"). The whole zone raster is uploaded
+to HBM once (uint8, margin-padded), a single jitted program lax.scans over
+tile batches — dynamic-slice gather, normalize, bf16 U-Net forward, fused
+softmax/argmax (Pallas), dynamic-update-slice stitch into device-resident
+output planes — and the stitched planes come back in ONE device-to-host
+transfer.
+
+Versus the reference loop (src/zone_detect/main.py:398-427: per-batch H2D,
+full-softmax D2H, per-patch GDAL write) this removes every per-batch host
+round-trip; a 4096x4096 zone is 1 H2D (~90 MB) + 1 D2H (~34 MB) total. All
+four stitching modes run on device:
+
+- exact-clipping: disjoint inner-region writes (last-write-wins scan order
+  matches the host writer's tile order);
+- average / average_weights: f32 prob accumulation + divisor plane, final
+  argmax/scale on device (padded duplicate tiles contribute zero via a valid
+  mask);
+- max: best-confidence merge.
+
+Falls back to the streaming host engine when the zone + accumulators exceed
+the device-memory budget (FLAIRTPU_DEVICE_ZONE_BYTES, default 6 GiB).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flairtpu.data.normalize import normalize_device
+from flairtpu.ops.fused import softmax_argmax
+from flairtpu.zone.grid import TileGrid
+from flairtpu.zone.weights import patch_weights
+
+DEFAULT_BUDGET = 6 << 30
+
+
+def device_budget_bytes() -> int:
+    return int(os.environ.get("FLAIRTPU_DEVICE_ZONE_BYTES", DEFAULT_BUDGET))
+
+
+def estimate_bytes(grid: TileGrid, n_channels: int, n_classes: int,
+                   method: str) -> int:
+    Hp = grid.height + 2 * grid.margin + grid.patch_size
+    Wp = grid.width + 2 * grid.margin + grid.patch_size
+    zone = Hp * Wp * n_channels
+    if method in ("average", "average_weights"):
+        acc = Hp * Wp * (n_classes + 1) * 4
+    else:
+        acc = Hp * Wp * 6
+    return zone + acc
+
+
+class DeviceZoneRunner:
+    """Builds and runs the scanned on-device zone program."""
+
+    def __init__(self, config: dict, model, params, batch_stats):
+        self.config = config
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.size = int(config["img_pixels_detection"])
+        self.margin = int(config["margin"])
+        self.batch = int(config.get("batch_size", 8))
+        self.n_classes = int(config["n_classes"])
+        self.output_type = config["output_type"]
+        norma = config["norma_task"][0]
+        self.norm = dict(norm_type=norma["norm_type"],
+                         means=tuple(norma.get("norm_means") or ()),
+                         stds=tuple(norma.get("norm_stds") or ()))
+        # compiled-program cache: (method, geometry) -> jitted fn. jax.jit of a
+        # fresh partial() recompiles every call; reuse across runs of one zone
+        # and across the compare sweep's repeated geometries.
+        self._programs: dict[tuple, object] = {}
+
+    def _program(self, key: tuple, build):
+        fn = self._programs.get(key)
+        if fn is None:
+            fn = jax.jit(build())
+            self._programs[key] = fn
+        return fn
+
+    # -- shared pieces --
+
+    def _forward(self, tiles_u8):
+        x = normalize_device(tiles_u8, src_dtype=np.uint8, **self.norm)
+        return self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats}, x, train=False)
+
+    def _gather(self, zone, origins):
+        S = self.size
+        C = zone.shape[-1]
+        return jax.vmap(
+            lambda rc: jax.lax.dynamic_slice(zone, (rc[0], rc[1], 0), (S, S, C))
+        )(origins)
+
+    # -- programs per stitching mode --
+
+    def _run_exact(self, zone, origins, inner_pos, out_hw):
+        """exact-clipping: scatter cropped (cls, prob) into output planes."""
+        S, m = self.size, self.margin
+        s = S - 2 * m
+        H, W = out_hw
+
+        def step(carry, batch):
+            cls_plane, prob_plane = carry
+            org, ipos = batch
+            logits = self._forward(self._gather(zone, org))[:, m:S - m, m:S - m, :]
+            cls, prob = softmax_argmax(logits)
+            cls = cls.astype(jnp.uint8)
+            prob_u8 = jnp.round(prob * 255).astype(jnp.uint8)
+
+            def put(carry, tile):
+                cp, pp, c, p = carry[0], carry[1], tile[0], tile[1]
+                r0, c0 = tile[2][0], tile[2][1]
+                cp = jax.lax.dynamic_update_slice(cp, c, (r0, c0))
+                pp = jax.lax.dynamic_update_slice(pp, p, (r0, c0))
+                return (cp, pp), None
+
+            (cls_plane, prob_plane), _ = jax.lax.scan(
+                put, (cls_plane, prob_plane), (cls, prob_u8, ipos))
+            return (cls_plane, prob_plane), None
+
+        init = (jnp.zeros((H, W), jnp.uint8), jnp.zeros((H, W), jnp.uint8))
+        (cls_plane, prob_plane), _ = jax.lax.scan(step, init, (origins, inner_pos))
+        return cls_plane, prob_plane
+
+    def _run_accumulate(self, zone, origins, valid, weighted, out_hw):
+        """average / average_weights: accumulate probs + divisor on device."""
+        S, m = self.size, self.margin
+        Hp, Wp = out_hw  # padded accumulation planes
+        K = self.n_classes
+        w = (jnp.asarray(patch_weights(S), jnp.float32) if weighted
+             else jnp.ones((S, S), jnp.float32))
+
+        def step(carry, batch):
+            acc, div = carry
+            org, val = batch
+            probs = jax.nn.softmax(self._forward(self._gather(zone, org)), axis=-1)
+            contrib = probs * (w[None, :, :, None] * val[:, None, None, None])
+
+            def put(carry, tile):
+                acc, div = carry
+                c, v, rc = tile
+                r0, c0 = rc[0], rc[1]
+                cur = jax.lax.dynamic_slice(acc, (r0, c0, 0), (S, S, K))
+                acc = jax.lax.dynamic_update_slice(acc, cur + c, (r0, c0, 0))
+                curd = jax.lax.dynamic_slice(div, (r0, c0), (S, S))
+                div = jax.lax.dynamic_update_slice(div, curd + w * v, (r0, c0))
+                return (acc, div), None
+
+            (acc, div), _ = jax.lax.scan(put, (acc, div), (contrib, val, org))
+            return (acc, div), None
+
+        init = (jnp.zeros((Hp, Wp, K), jnp.float32), jnp.zeros((Hp, Wp), jnp.float32))
+        (acc, div), _ = jax.lax.scan(step, init, (origins, valid))
+        mean = acc / jnp.maximum(div, 1e-8)[:, :, None]
+        if self.output_type == "argmax":
+            cls = jnp.argmax(mean, axis=-1).astype(jnp.uint8)
+            prob = jnp.round(jnp.max(mean, axis=-1) * 255).astype(jnp.uint8)
+            return cls, prob
+        return jnp.round(mean * 255).astype(jnp.uint8)
+
+    def _run_max(self, zone, origins, out_hw):
+        S = self.size
+        Hp, Wp = out_hw
+
+        def step(carry, org):
+            best_p, best_c = carry
+            cls, prob = softmax_argmax(self._forward(self._gather(zone, org)))
+            cls = cls.astype(jnp.uint8)
+
+            def put(carry, tile):
+                bp, bc = carry
+                c, p, rc = tile
+                r0, c0 = rc[0], rc[1]
+                cur_p = jax.lax.dynamic_slice(bp, (r0, c0), (S, S))
+                cur_c = jax.lax.dynamic_slice(bc, (r0, c0), (S, S))
+                better = p > cur_p
+                bp = jax.lax.dynamic_update_slice(bp, jnp.where(better, p, cur_p), (r0, c0))
+                bc = jax.lax.dynamic_update_slice(bc, jnp.where(better, c, cur_c), (r0, c0))
+                return (bp, bc), None
+
+            (best_p, best_c), _ = jax.lax.scan(put, (best_p, best_c), (cls, prob, org))
+            return (best_p, best_c), None
+
+        init = (jnp.zeros((Hp, Wp), jnp.float32), jnp.zeros((Hp, Wp), jnp.uint8))
+        (best_p, best_c), _ = jax.lax.scan(step, init, origins)
+        return best_c, jnp.round(best_p * 255).astype(jnp.uint8)
+
+    # -- host orchestration --
+
+    def run(self, reader, grid: TileGrid, method: str) -> dict:
+        """Returns host arrays: {'cls','prob'} or {'probs'} (class_prob)."""
+        import time
+
+        S, m, B = self.size, self.margin, self.batch
+        H, W = grid.height, grid.width
+        # pad the zone so every full patch window is a valid static slice
+        pad_lo = m
+        pad_hi = m + S  # covers clamped tiles + gather slack
+        t0 = time.perf_counter()
+        zone_np = reader.read(self.config["channels"])  # (C, H, W)
+        zone_np = np.pad(np.moveaxis(zone_np, 0, -1),
+                         ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
+        t_read = time.perf_counter() - t0
+
+        tiles = grid.tiles
+        n = len(tiles)
+        n_pad = (-n) % B
+        # pad with duplicates of the last tile: exact/max modes rewrite the
+        # same values (harmless); accumulate modes mask them with valid=0
+        all_tiles = tiles + [tiles[-1]] * n_pad
+        origins = np.array(
+            [(t.row0 + pad_lo, t.col0 + pad_lo) for t in all_tiles], np.int32)
+        valid = np.array([1.0] * n + [0.0] * n_pad, np.float32)
+
+        t0 = time.perf_counter()
+        zone_dev = jax.device_put(zone_np)
+        ob = origins.reshape(-1, B, 2)
+        vb = valid.reshape(-1, B)
+
+        if method == "exact-clipping" and self.output_type == "argmax":
+            s = S - 2 * m
+            inner = np.array([(t.irow0, t.icol0) for t in all_tiles], np.int32)
+            # clamp so the static s x s write stays in-plane (inner regions of
+            # realigned tiles already satisfy this when H,W >= s)
+            Ho, Wo = max(H, s), max(W, s)
+            inner[:, 0] = np.minimum(inner[:, 0], Ho - s)
+            inner[:, 1] = np.minimum(inner[:, 1], Wo - s)
+            fn = self._program(("exact", Ho, Wo, S, m, self.batch),
+                               lambda: partial(self._run_exact, out_hw=(Ho, Wo)))
+            cls, prob = fn(zone_dev, jnp.asarray(ob),
+                           jnp.asarray(inner.reshape(-1, B, 2)))
+            result = {"cls": np.asarray(cls)[:H, :W], "prob": np.asarray(prob)[:H, :W]}
+        elif method in ("average", "average_weights"):
+            Hp, Wp = H + pad_lo + pad_hi, W + pad_lo + pad_hi
+            fn = self._program((method, Hp, Wp, S, m, self.batch),
+                               lambda: partial(self._run_accumulate,
+                                               weighted=(method == "average_weights"),
+                                               out_hw=(Hp, Wp)))
+            out = fn(zone_dev, jnp.asarray(ob), jnp.asarray(vb))
+            if self.output_type == "argmax":
+                cls, prob = out
+                result = {"cls": np.asarray(cls)[pad_lo:pad_lo + H, pad_lo:pad_lo + W],
+                          "prob": np.asarray(prob)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
+            else:
+                probs = np.asarray(out)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]
+                result = {"probs": np.moveaxis(probs, -1, 0)}
+        elif method == "max":
+            Hp, Wp = H + pad_lo + pad_hi, W + pad_lo + pad_hi
+            fn = self._program(("max", Hp, Wp, S, m, self.batch),
+                               lambda: partial(self._run_max, out_hw=(Hp, Wp)))
+            cls, prob = fn(zone_dev, jnp.asarray(ob))
+            result = {"cls": np.asarray(cls)[pad_lo:pad_lo + H, pad_lo:pad_lo + W],
+                      "prob": np.asarray(prob)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
+        else:  # exact-clipping + class_prob
+            Hp, Wp = H + pad_lo + pad_hi, W + pad_lo + pad_hi
+            fn = self._program(("probs", Hp, Wp, S, m, self.batch),
+                               lambda: partial(self._run_accumulate, weighted=False,
+                                               out_hw=(Hp, Wp)))
+            out = fn(zone_dev, jnp.asarray(ob), jnp.asarray(vb))
+            probs = np.asarray(out)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]
+            result = {"probs": np.moveaxis(probs, -1, 0)}
+        t_run = time.perf_counter() - t0
+        return dict(result, tiles=n, seconds=t_run, read_seconds=t_read,
+                    patches_per_sec=n / t_run if t_run else 0.0)

@@ -123,9 +123,16 @@ class ZoneEngine:
         tiles = grid.tiles
 
         def read_tile(t):
-            win = Window(t.col0, t.row0, S, S)
-            arr = reader.read(self.channels, window=win, boundless=True)
-            return np.moveaxis(arr, 0, -1)  # (S, S, C)
+            try:
+                win = Window(t.col0, t.row0, S, S)
+                arr = reader.read(self.channels, window=win, boundless=True)
+                return np.moveaxis(arr, 0, -1)  # (S, S, C)
+            except Exception as error:
+                # zero-patch fallback on decode errors, like the reference's
+                # CPLE_BaseError handler (src/zone_detect/dataset.py:115-122)
+                print(f"read error on tile {t.index}: {error}")
+                return np.zeros((S, S, len(self.channels)),
+                                reader.dtype.newbyteorder("="))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -236,7 +243,7 @@ def conf_log(config: dict, reader: TiffReader) -> None:
     |- normalization: {config['norma_task'][0]['norm_type']}
     |- output type: {config['output_type']}
 
-    |- model weights path: {config['model_weights']}
+    |- model weights path: {config.get('model_weights', '<in-memory>')}
     |- model template: {model_template}
     |- device: {jax.default_backend()} x{len(jax.devices())}
     |- batch size: {config['batch_size']}
@@ -256,7 +263,19 @@ def _make_writer(config: dict, reader: TiffReader, path_out: str) -> TiffWriter:
 
 def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
                identifier: str = "") -> tuple[str, dict, TileGrid]:
-    """One (grid, stitcher, output raster) pass over the zone."""
+    """One (grid, stitcher, output raster) pass over the zone.
+
+    Prefers the device-resident path (zone in HBM, fused gather/forward/stitch,
+    one transfer each way); streams through the host engine when the zone would
+    not fit the device budget or FLAIRTPU_STREAMING_ZONE is set.
+    """
+    import os
+
+    import numpy as np
+
+    from flairtpu.zone.device_engine import (
+        DeviceZoneRunner, device_budget_bytes, estimate_bytes)
+
     size, margin = config["img_pixels_detection"], config["margin"]
     with TiffReader(config["input_img_path"], cache_blocks=128) as reader:
         grid = slice_grid(reader.width, reader.height, size, margin, stride,
@@ -268,11 +287,38 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
         conf_log(config, reader)
         print(f"    [x] sliced input raster to {len(grid)} squares...")
         path_out = setup_indiv_path(config, identifier)
-        writer = _make_writer(config, reader, path_out)
-        stitcher = make_stitcher(method, writer, grid, config)
+
+        use_device = (
+            not os.environ.get("FLAIRTPU_STREAMING_ZONE")
+            and estimate_bytes(grid, len(config["channels"]), config["n_classes"],
+                               method) <= device_budget_bytes())
+        print(f"    [x] zone path: {'device-resident' if use_device else 'streaming'}")
         print("    [ ] starting inference...\n")
-        stats = engine.run(reader, grid, stitcher)
-        writer.close()
+        if use_device:
+            runner = getattr(engine, "_device_runner", None)
+            if runner is None or runner.size != size or runner.margin != margin:
+                runner = DeviceZoneRunner(config, engine.model, engine.params,
+                                          engine.batch_stats)
+                engine._device_runner = runner
+            res = runner.run(reader, grid, method)
+            writer = _make_writer(config, reader, path_out)
+            if "cls" in res:
+                writer.write_band([1, 2], np.stack([res["cls"], res["prob"]]))
+            else:
+                writer.write_band(list(range(1, config["n_classes"] + 1)),
+                                  res["probs"])
+            writer.close()
+            total_ms = res["seconds"] * 1000.0
+            n = max(res["tiles"], 1)
+            stats = {"tiles": res["tiles"], "seconds": res["seconds"],
+                     "patches_per_sec": res["patches_per_sec"],
+                     # cumulative-elapsed-per-patch, the reference's timing shape
+                     "patch_times_ms": [total_ms * (i + 1) / n for i in range(n)]}
+        else:
+            writer = _make_writer(config, reader, path_out)
+            stitcher = make_stitcher(method, writer, grid, config)
+            stats = engine.run(reader, grid, stitcher)
+            writer.close()
     print(f"    [X] done writing to {Path(path_out).name} raster file "
           f"({stats['tiles']} tiles, {stats['patches_per_sec']:.1f} patches/s).\n")
     return path_out, stats, grid

@@ -129,6 +129,27 @@ def test_small_zone_single_tile(zone_setup):
         assert (r.read(2) > 0).all()
 
 
+def test_device_and_streaming_paths_agree(zone_setup, monkeypatch):
+    """The device-resident fused path must reproduce the streaming engine."""
+    tmp, make_config, _, _ = zone_setup
+    outs = {}
+    for mode in ("device", "streaming"):
+        if mode == "streaming":
+            monkeypatch.setenv("FLAIRTPU_STREAMING_ZONE", "1")
+        else:
+            monkeypatch.delenv("FLAIRTPU_STREAMING_ZONE", raising=False)
+        cfg = cfgmod.validate_detect_config(make_config(
+            metrics=False, compare=False,
+            output_path=str(tmp / f"out_path_{mode}")))
+        _run(cfg)
+        with TiffReader(Path(cfg["output_path"]) / "zone_irc-ARGMAX-S.tif") as r:
+            outs[mode] = r.read()
+    cls_equal = (outs["device"][0] == outs["streaming"][0]).mean()
+    assert cls_equal > 0.999, f"class plane mismatch: {cls_equal:.4f}"
+    prob_diff = np.abs(outs["device"][1].astype(int) - outs["streaming"][1].astype(int))
+    assert prob_diff.max() <= 1
+
+
 def test_compare_sweep_with_metrics(zone_setup):
     tmp, make_config, _, _ = zone_setup
     cfg = make_config(
