@@ -199,11 +199,20 @@ def _tree_get(tree, path):
     return tree
 
 
+def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
+    """Dispatch smp-style vs HuggingFace-style state dicts to their converter."""
+    if any(k.startswith(("segformer.", "decode_head.")) for k in sd):
+        from flairtpu.models.segformer import hf_torch_to_flax
+
+        return hf_torch_to_flax(dict(sd))
+    return torch_to_flax(sd)
+
+
 def load_checkpoint_variables(path: str | Path, reference: dict | None = None,
                               strict: bool = True) -> dict:
     """One-call load: torch file -> flax variables, optionally validated."""
     sd = normalize_keys(load_torch_state_dict(path))
-    variables = torch_to_flax(sd)
+    variables = any_state_dict_to_flax(sd)
     if reference is not None:
         validate_against(variables, reference, strict=strict)
     return variables

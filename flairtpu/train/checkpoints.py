@@ -135,7 +135,7 @@ def init_weights_with_surgery(path: str | Path, reference_variables: dict,
         raw = ocp.StandardCheckpointer().restore(Path(p).resolve())
         loaded = {k: raw[k] for k in ("params", "batch_stats") if k in raw}
     elif p.endswith((".pth", ".pt", ".ckpt")):
-        loaded = convert.torch_to_flax(
+        loaded = convert.any_state_dict_to_flax(
             convert.normalize_keys(convert.load_torch_state_dict(p)))
     else:
         loaded = load_weights_msgpack(p)

@@ -34,10 +34,20 @@ def batch_metrics_pipeline(config: dict) -> None:
         if truth_path is None:
             print(f"No ground truth found for zone: {zone}")
             continue
+        # the method suffix makes batch outputs parseable by info_extract
+        # (the reference's non-compare batch names lack it and its own
+        # batch_metrics cannot parse them)
+        from flairtpu.zone.grid import get_stride
+        from flairtpu.zone.naming import method_string
+
+        method = method_string(
+            config["img_pixels_detection"], get_stride(config)[0],
+            config["margin"], "no-padding",
+            config.get("stitching", "exact-clipping"))
         config.update({
             "input_img_path": str(img_path),
             "truth_path": str(truth_path),
-            "output_name": f"{img_path.stem}-ARGMAX-S",
+            "output_name": f"{img_path.stem}-ARGMAX-S_{method}",
         })
         run_pipeline(config)
 

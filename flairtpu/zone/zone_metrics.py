@@ -86,8 +86,12 @@ def collect_paths_truth(config: dict, truth_dir: Path) -> list[dict]:
     """pred/truth/method triples from timestamped out dirs (test/metrics.py:61-84)."""
     records = []
     pred_dir = Path(config["output_path"])
-    for timestamp in sorted(p for p in pred_dir.iterdir() if p.is_dir()):
-        pred_files = sorted(timestamp.rglob("*.tif"))
+    groups = [sorted(p.rglob("*.tif"))
+              for p in sorted(pred_dir.iterdir()) if p.is_dir()]
+    root_tifs = sorted(pred_dir.glob("*.tif"))  # non-compare runs write here
+    if root_tifs:
+        groups.append(root_tifs)
+    for pred_files in groups:
         if not pred_files:
             continue
         zone = info_extract(pred_files[0])["zone"]
