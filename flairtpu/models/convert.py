@@ -200,7 +200,11 @@ def _tree_get(tree, path):
 
 
 def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
-    """Dispatch smp-style vs HuggingFace-style state dicts to their converter."""
+    """Dispatch smp / SegFormer / UperNet-Swin state dicts to their converter."""
+    if any(k.startswith("backbone.") for k in sd):
+        from flairtpu.models.swin_upernet import hf_upernet_torch_to_flax
+
+        return hf_upernet_torch_to_flax(dict(sd))
     if any(k.startswith(("segformer.", "decode_head.")) for k in sd):
         from flairtpu.models.segformer import hf_torch_to_flax
 

@@ -200,16 +200,27 @@ class SegformerModel(nn.Module):
 
 
 _SPEC_RE = re.compile(r"(?:mit-|segformer-)?(b[0-5])")
+_SWIN_RE = re.compile(r"swin-(tiny|small|base|large)")
 
 
 def create_hf_model(org_model: str, n_classes: int, dtype):
-    m = _SPEC_RE.search(org_model.lower())
+    name = org_model.lower()
+    sw = _SWIN_RE.search(name)
+    if "upernet" in name or sw:
+        from flairtpu.models.swin_upernet import SwinUperNet
+
+        if not sw:
+            raise NotImplementedError(
+                f"UperNet backbone in {org_model!r} is not ported (supported: "
+                "swin-tiny/small/base/large).")
+        return SwinUperNet(spec=sw.group(1), classes=n_classes, dtype=dtype)
+    m = _SPEC_RE.search(name)
     if not m:
         raise NotImplementedError(
             f"HuggingFace model {org_model!r} is not in the ported TPU-native zoo. "
-            "Supported: the SegFormer family (e.g. nvidia/segformer-b0..b5, "
-            "nvidia/mit-b0..b5). For ResNet-U-Net use the "
-            "SegmentationModelsPytorch provider.")
+            "Supported: SegFormer (nvidia/segformer-b0..b5, nvidia/mit-b0..b5) and "
+            "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large). For "
+            "ResNet-U-Net use the SegmentationModelsPytorch provider.")
     return SegformerModel(spec=m.group(1), classes=n_classes, dtype=dtype)
 
 

@@ -167,6 +167,55 @@ class DeviceZoneRunner:
             return cls, prob
         return jnp.round(mean * 255).astype(jnp.uint8)
 
+    def _run_exact_sharded(self, mesh, zone, origins, inner_pos, out_hw):
+        """Multi-chip exact-clipping: forward sharded over the 'data' axis.
+
+        Phase 1 (shard_map): each device scans its share of tile batches —
+        gather from the replicated zone, forward, fused argmax — producing
+        margin-cropped uint8 tiles; no cross-device traffic until the output
+        all-gather. Phase 2 (replicated): sequential scatter of the (small)
+        uint8 tiles into the output planes.
+        """
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        S, m = self.size, self.margin
+        s = S - 2 * m
+        H, W = out_hw
+
+        def local_forward(zone_l, origins_l):  # origins_l (n_local, B, 2)
+            def step(_, org):
+                logits = self._forward(self._gather(zone_l, org))[:, m:S - m,
+                                                                  m:S - m, :]
+                cls, prob = softmax_argmax(logits)
+                return None, (cls.astype(jnp.uint8),
+                              jnp.round(prob * 255).astype(jnp.uint8))
+
+            _, (cls, prob) = jax.lax.scan(step, None, origins_l)
+            return cls.reshape(-1, s, s), prob.reshape(-1, s, s)
+
+        sharded_fwd = shard_map(
+            local_forward, mesh=mesh,
+            in_specs=(P(), P("data")), out_specs=P("data"))
+
+        cls_tiles, prob_tiles = sharded_fwd(zone, origins)
+
+        def scatter(cls_tiles, prob_tiles, inner_pos):
+            def put(carry, tile):
+                cp, pp = carry
+                c, p, rc = tile
+                cp = jax.lax.dynamic_update_slice(cp, c, (rc[0], rc[1]))
+                pp = jax.lax.dynamic_update_slice(pp, p, (rc[0], rc[1]))
+                return (cp, pp), None
+
+            init = (jnp.zeros((H, W), jnp.uint8), jnp.zeros((H, W), jnp.uint8))
+            (cp, pp), _ = jax.lax.scan(put, init,
+                                       (cls_tiles, prob_tiles, inner_pos))
+            return cp, pp
+
+        return jax.jit(scatter)(cls_tiles, prob_tiles,
+                                inner_pos.reshape(-1, 2))
+
     def _run_max(self, zone, origins, out_hw):
         S = self.size
         Hp, Wp = out_hw
@@ -196,12 +245,20 @@ class DeviceZoneRunner:
 
     # -- host orchestration --
 
-    def run(self, reader, grid: TileGrid, method: str) -> dict:
-        """Returns host arrays: {'cls','prob'} or {'probs'} (class_prob)."""
+    def run(self, reader, grid: TileGrid, method: str, mesh=None) -> dict:
+        """Returns host arrays: {'cls','prob'} or {'probs'} (class_prob).
+
+        With a multi-device ``mesh``, the exact-clipping forward shards tile
+        batches over the 'data' axis (shard_map); other modes run single-device.
+        """
         import time
 
         S, m, B = self.size, self.margin, self.batch
         H, W = grid.height, grid.width
+        n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        use_sharded = (mesh is not None and n_dev > 1
+                       and method == "exact-clipping"
+                       and self.output_type == "argmax")
         # pad the zone so every full patch window is a valid static slice
         pad_lo = m
         pad_hi = m + S  # covers clamped tiles + gather slack
@@ -213,7 +270,7 @@ class DeviceZoneRunner:
 
         tiles = grid.tiles
         n = len(tiles)
-        n_pad = (-n) % B
+        n_pad = (-n) % (B * n_dev if use_sharded else B)
         # pad with duplicates of the last tile: exact/max modes rewrite the
         # same values (harmless); accumulate modes mask them with valid=0
         all_tiles = tiles + [tiles[-1]] * n_pad
@@ -234,10 +291,15 @@ class DeviceZoneRunner:
             Ho, Wo = max(H, s), max(W, s)
             inner[:, 0] = np.minimum(inner[:, 0], Ho - s)
             inner[:, 1] = np.minimum(inner[:, 1], Wo - s)
-            fn = self._program(("exact", Ho, Wo, S, m, self.batch),
-                               lambda: partial(self._run_exact, out_hw=(Ho, Wo)))
-            cls, prob = fn(zone_dev, jnp.asarray(ob),
-                           jnp.asarray(inner.reshape(-1, B, 2)))
+            if use_sharded:
+                cls, prob = self._run_exact_sharded(
+                    mesh, zone_dev, jnp.asarray(ob),
+                    jnp.asarray(inner.reshape(-1, B, 2)), out_hw=(Ho, Wo))
+            else:
+                fn = self._program(("exact", Ho, Wo, S, m, self.batch),
+                                   lambda: partial(self._run_exact, out_hw=(Ho, Wo)))
+                cls, prob = fn(zone_dev, jnp.asarray(ob),
+                               jnp.asarray(inner.reshape(-1, B, 2)))
             result = {"cls": np.asarray(cls)[:H, :W], "prob": np.asarray(prob)[:H, :W]}
         elif method in ("average", "average_weights"):
             Hp, Wp = H + pad_lo + pad_hi, W + pad_lo + pad_hi

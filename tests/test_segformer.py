@@ -70,8 +70,12 @@ def test_create_hf_model_dispatch():
     assert m.spec == "b2" and m.classes == 19
     m2 = create_hf_model("nvidia/mit-b5", 13, jnp.float32)
     assert m2.spec == "b5"
-    with pytest.raises(NotImplementedError, match="not in the ported"):
-        create_hf_model("openmmlab/upernet-swin-small", 19, jnp.float32)
+    from flairtpu.models.swin_upernet import SwinUperNet
+
+    m3 = create_hf_model("openmmlab/upernet-swin-small", 19, jnp.float32)
+    assert isinstance(m3, SwinUperNet) and m3.spec == "small"
+    with pytest.raises(NotImplementedError, match="not ported"):
+        create_hf_model("openmmlab/upernet-convnext-tiny", 19, jnp.float32)
 
 
 def test_hf_pth_loads_strict(torch_segformer, tmp_path):
