@@ -250,10 +250,14 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
     train_ds = PatchDataset(dict_train, channels, use_metadata=trainer.use_metadata)
     val_ds = PatchDataset(dict_val, channels, use_metadata=trainer.use_metadata)
     nw = int(config.get("num_workers", 4))
-    train_loader = PatchLoader(train_ds, batch_size, shuffle=True, seed=seed,
-                               drop_last=True, num_workers=nw)
-    val_loader = PatchLoader(val_ds, batch_size, shuffle=False, drop_last=True,
-                             num_workers=nw)
+    from flairtpu.data.grain_loader import make_loader
+
+    backend = config.get("loader_backend", "threads")
+    train_loader = make_loader(backend, train_ds, batch_size=batch_size,
+                               shuffle=True, seed=seed, drop_last=True,
+                               num_workers=nw)
+    val_loader = make_loader(backend, val_ds, batch_size=batch_size,
+                             shuffle=False, drop_last=True, num_workers=nw)
 
     # checkpoint / resume wiring (reference flair/main.py:150-175 semantics)
     tasks = config.get("tasks", {})

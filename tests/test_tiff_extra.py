@@ -1,0 +1,98 @@
+"""Extra codec coverage: planar layout, uint16 PIL cross-check, big windows."""
+
+import struct
+
+import numpy as np
+from PIL import Image
+
+from flairtpu.io import TiffReader, Window
+from flairtpu.io.tiff import write_array
+
+
+def _write_planar_tiff(path, arr: np.ndarray):
+    """Hand-craft a minimal uncompressed PlanarConfig=2 classic TIFF.
+
+    Our writer emits chunky only; planar files exist in the wild (GDAL
+    INTERLEAVE=BAND), so the reader path needs coverage.
+    """
+    bands, h, w = arr.shape
+    assert arr.dtype == np.uint8
+    header = b"II" + struct.pack("<H", 42)
+    # one strip per plane
+    plane_size = h * w
+    data_offset = 8
+    strips = [data_offset + i * plane_size for i in range(bands)]
+    ifd_offset = data_offset + bands * plane_size
+
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val))
+
+    # out-of-line arrays placed after IFD
+    n_entries = 10
+    ifd_size = 2 + n_entries * 12 + 4
+    extra = ifd_offset + ifd_size
+    offsets_ptr, counts_ptr, bits_ptr = extra, extra + 4 * bands, extra + 8 * bands
+
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, bands, bits_ptr if bands > 2 else (8 | (8 << 16) if bands == 2 else 8))
+    entry(259, 3, 1, 1)   # no compression
+    entry(262, 3, 1, 1)   # min-is-black
+    entry(273, 4, bands, offsets_ptr if bands > 1 else strips[0])
+    entry(277, 3, 1, bands)
+    entry(278, 4, 1, h)
+    entry(279, 4, bands, counts_ptr if bands > 1 else plane_size)
+    entry(284, 3, 1, 2)   # PLANAR
+
+    with open(path, "wb") as f:
+        f.write(header + struct.pack("<I", ifd_offset))
+        f.write(arr.tobytes())
+        f.write(struct.pack("<H", n_entries))
+        f.write(b"".join(entries))
+        f.write(struct.pack("<I", 0))
+        f.write(struct.pack("<" + "I" * bands, *strips))
+        f.write(struct.pack("<" + "I" * bands, *[plane_size] * bands))
+        f.write(struct.pack("<" + "H" * bands, *[8] * bands).ljust(4 * bands, b"\0"))
+
+
+def test_planar_config_read(tmp_path, rng):
+    arr = rng.integers(0, 255, size=(3, 20, 24), dtype=np.uint8)
+    p = tmp_path / "planar.tif"
+    _write_planar_tiff(p, arr)
+    with TiffReader(p) as r:
+        assert r.planar == 2
+        np.testing.assert_array_equal(r.read(), arr)
+        np.testing.assert_array_equal(
+            r.read([2], window=Window(4, 2, 10, 8)), arr[1:2, 2:10, 4:14])
+
+
+def test_uint16_pil_crosscheck(tmp_path, rng):
+    arr = rng.integers(0, 65535, size=(30, 40), dtype=np.uint16)
+    p = tmp_path / "u16.tif"
+    Image.fromarray(arr).save(p)
+    with TiffReader(p) as r:
+        assert r.dtype.itemsize == 2
+        np.testing.assert_array_equal(r.read(1), arr)
+    # and the reverse: our u16 file read by PIL
+    p2 = tmp_path / "u16_ours.tif"
+    write_array(p2, arr[None], compress="deflate", tiled=False)
+    np.testing.assert_array_equal(np.array(Image.open(p2)), arr)
+
+
+def test_window_spanning_many_blocks(tmp_path, rng):
+    arr = rng.integers(0, 255, size=(1, 200, 300), dtype=np.uint8)
+    p = tmp_path / "many.tif"
+    write_array(p, arr, blockxsize=32, blockysize=32, compress="lzw")
+    with TiffReader(p, cache_blocks=2) as r:  # tiny cache forces eviction
+        w = Window(17, 23, 250, 150)
+        np.testing.assert_array_equal(r.read(window=w), arr[:, 23:173, 17:267])
+
+
+def test_float32_roundtrip_values(tmp_path, rng):
+    arr = rng.standard_normal((2, 33, 47)).astype(np.float32)
+    p = tmp_path / "f32.tif"
+    write_array(p, arr, compress="deflate")
+    with TiffReader(p) as r:
+        np.testing.assert_array_equal(r.read(), arr)
