@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -50,11 +48,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from flairtpu.io import TiffReader, TiffWriter
     from flairtpu.models.factory import create_model, init_model
-    from flairtpu.zone.engine import ZoneEngine, _make_writer
-    from flairtpu.zone.grid import slice_grid
-    from flairtpu.zone.stitch import make_stitcher
+    from flairtpu.zone.engine import ZoneEngine
 
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32

@@ -14,8 +14,7 @@ fp32.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ loss and metrics).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
 from typing import Any, Callable
@@ -39,7 +39,7 @@ from flairtpu.data.normalize import normalize_device
 from flairtpu.data.patches import PatchDataset, PatchLoader
 from flairtpu.models.factory import create_model, init_model
 from flairtpu.ops.confmat import confusion_matrix, per_class_jaccard, weighted_jaccard
-from flairtpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from flairtpu.parallel.mesh import make_mesh, replicate, shard_batch
 from flairtpu.train import checkpoints as ckpt_lib
 from flairtpu.train.logging import MetricsLogger
 from flairtpu.train.optim import EarlyStopping, ReduceLROnPlateau, make_optimizer, set_learning_rate

@@ -11,8 +11,6 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-import numpy as np
-
 from flairtpu.config import gen_param_combination
 from flairtpu.io import TiffReader
 from flairtpu.io.tiff import Window

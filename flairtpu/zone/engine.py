@@ -21,7 +21,6 @@ from __future__ import annotations
 import datetime
 import json
 import queue
-import sys
 import threading
 import time
 from pathlib import Path
@@ -30,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flairtpu import config as cfgmod
 from flairtpu.data.normalize import normalize_device
 from flairtpu.io import TiffReader, TiffWriter, Window
 from flairtpu.models.factory import create_model, init_model

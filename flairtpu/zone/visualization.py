@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
-
 from flairtpu.zone.grid import TileGrid
 from flairtpu.zone.weights import patch_weights, total_weights
 
