@@ -44,6 +44,59 @@ def _zone_path() -> Path:
     return p
 
 
+def bench_train() -> None:
+    """BENCH_MODE=train: flagship train-step throughput (512^2 patches/s/chip)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from flairtpu.train.loop import SegmentationTrainer
+
+    backend = jax.default_backend()
+    bs = BATCH
+    config = {
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_unet"},
+        },
+        "use_metadata": False, "use_augmentation": True, "use_weights": True,
+        "channels": [1, 2, 3, 4, 5],
+        "norm_type": "scaling", "norm_means": [], "norm_stds": [],
+        "classes": {i: [0 if i in (15, 16, 17, 19) else 1, f"c{i}"]
+                    for i in range(1, 20)},
+        "batch_size": bs, "learning_rate": 0.02, "seed": 0,
+    }
+    trainer = SegmentationTrainer(config)
+    trainer.replicate_to_mesh()
+    step = trainer.train_step()
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": rng.integers(0, 255, size=(bs, SIZE, SIZE, 5)).astype(np.uint8),
+        "msk": rng.integers(0, 19, size=(bs, SIZE, SIZE)).astype(np.int32),
+    }
+    img, msk, mtd = trainer._put(batch)
+    key = jax.random.PRNGKey(0)
+    p, s, o = trainer.params, trainer.batch_stats, trainer.opt_state
+    p, s, o, loss, cm = step(p, s, o, img, msk, mtd, key)  # compile
+    jax.block_until_ready(loss)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        img, msk, mtd = trainer._put(batch)
+        p, s, o, loss, cm = step(p, s, o, img, msk, mtd,
+                                 jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    pps = n_steps * bs / dt
+    print(json.dumps({
+        "metric": f"train 512^2 5-ch patches/sec/chip ({backend}, fwd+bwd+opt)",
+        "value": round(pps, 2),
+        "unit": "patches/sec",
+        "vs_baseline": round(pps / REF_PATCHES_PER_SEC, 2),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -100,4 +153,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "train":
+        bench_train()
+    else:
+        main()

@@ -150,6 +150,22 @@ def test_device_and_streaming_paths_agree(zone_setup, monkeypatch):
     assert prob_diff.max() <= 1
 
 
+def test_class_prob_output(zone_setup):
+    """output_type=class_prob -> n_classes uint8 probability bands."""
+    tmp, make_config, _, _ = zone_setup
+    cfg = cfgmod.validate_detect_config(make_config(
+        metrics=False, compare=False, output_type="class_prob",
+        output_path=str(tmp / "out_classprob")))
+    _run(cfg)
+    with TiffReader(Path(cfg["output_path"]) / "zone_irc-ARGMAX-S.tif") as r:
+        assert r.count == N_CLASSES
+        probs = r.read().astype(np.int64)
+    sums = probs.sum(axis=0)
+    # probabilities scaled by 255: per-pixel sums land near 255 (rounding)
+    assert abs(int(np.median(sums)) - 255) <= N_CLASSES
+    assert probs.max() <= 255 and probs.min() >= 0
+
+
 def test_compare_sweep_with_metrics(zone_setup):
     tmp, make_config, _, _ = zone_setup
     cfg = make_config(
