@@ -216,6 +216,102 @@ class DeviceZoneRunner:
         return jax.jit(scatter)(cls_tiles, prob_tiles,
                                 inner_pos.reshape(-1, 2))
 
+    def _run_exact_banded(self, zone_np: np.ndarray, tiles, pad_lo: int,
+                          out_hw, n_bands: int):
+        """Pipelined exact-clipping: row bands overlap H2D / compute / D2H.
+
+        The zone stays on the host; each band uploads only its slab (rows it
+        gathers from), dispatches the band program asynchronously, and the
+        previous band's (small) output planes are fetched while the next band
+        computes. Hides most of the per-zone transfer latency that a single
+        monolithic program serializes (one H2D -> compute -> one D2H).
+        """
+        S, m, B = self.size, self.margin, self.batch
+        s = S - 2 * m
+        Ho, Wo = out_hw
+
+        # rows enumerate bottom-up in the grid (grid.py), so the unbanded scan
+        # writes high row0 first and LOW row0 last; realigned-row overlaps are
+        # won by the upper row. Process bands in descending row order so the
+        # band containing lower rows still writes last.
+        rows = sorted({t.row0 for t in tiles}, reverse=True)
+        n_bands = max(1, min(n_bands, len(rows)))
+        per = -(-len(rows) // n_bands)
+        bands = [set(rows[i * per:(i + 1) * per]) for i in range(n_bands)]
+        bands = [b for b in bands if b]
+
+        # uniform compiled shapes across bands
+        slab_h = max(max(r for r in b) - min(r for r in b) for b in bands) + S
+        out_h = max(
+            min(max(r for r in b) + S - m, Ho) - max(min(r for r in b) + m, 0)
+            for b in bands)
+
+        def band_prog(slab, origins, inner_pos):
+            def step(carry, batch):
+                cls_plane, prob_plane = carry
+                org, ipos = batch
+                logits = self._forward(self._gather(slab, org))[:, m:S - m,
+                                                                m:S - m, :]
+                cls, prob = softmax_argmax(logits)
+                cls = cls.astype(jnp.uint8)
+                prob_u8 = jnp.round(prob * 255).astype(jnp.uint8)
+
+                def put(carry, tile):
+                    cp, pp = carry
+                    c, p, rc = tile
+                    cp = jax.lax.dynamic_update_slice(cp, c, (rc[0], rc[1]))
+                    pp = jax.lax.dynamic_update_slice(pp, p, (rc[0], rc[1]))
+                    return (cp, pp), None
+
+                (cls_plane, prob_plane), _ = jax.lax.scan(
+                    put, (cls_plane, prob_plane), (cls, prob_u8, ipos))
+                return (cls_plane, prob_plane), None
+
+            init = (jnp.zeros((out_h, Wo), jnp.uint8),
+                    jnp.zeros((out_h, Wo), jnp.uint8))
+            (cp, pp), _ = jax.lax.scan(step, init, (origins, inner_pos))
+            return cp, pp
+
+        prog = self._program(("exact-banded", out_h, Wo, slab_h, S, m, B),
+                             lambda: band_prog)
+
+        cls_out = np.zeros((Ho, Wo), np.uint8)
+        prob_out = np.zeros((Ho, Wo), np.uint8)
+        pending = None  # (result, out_lo, valid_h)
+
+        for band in bands:
+            btiles = [t for t in tiles if t.row0 in band]
+            r_lo = min(t.row0 for t in btiles) + pad_lo  # padded-zone coords
+            out_lo = max(min(t.row0 for t in btiles) + m, 0)
+            valid_h = min(max(t.row0 for t in btiles) + S - m, Ho) - out_lo
+            n = len(btiles)
+            n_pad = (-n) % B
+            btiles = btiles + [btiles[-1]] * n_pad
+            origins = np.array(
+                [(t.row0 + pad_lo - r_lo, t.col0 + pad_lo) for t in btiles],
+                np.int32).reshape(-1, B, 2)
+            inner = np.array(
+                [(min(max(t.irow0 - out_lo, 0), out_h - s),
+                  min(t.icol0, Wo - s)) for t in btiles],
+                np.int32).reshape(-1, B, 2)
+            slab = zone_np[r_lo : r_lo + slab_h]
+            if slab.shape[0] < slab_h:
+                slab = np.pad(slab, ((0, slab_h - slab.shape[0]), (0, 0), (0, 0)))
+            res = prog(jax.device_put(slab), jnp.asarray(origins),
+                       jnp.asarray(inner))
+            if pending is not None:
+                self._collect_band(pending, cls_out, prob_out)
+            pending = (res, out_lo, valid_h)
+        if pending is not None:
+            self._collect_band(pending, cls_out, prob_out)
+        return cls_out, prob_out
+
+    @staticmethod
+    def _collect_band(pending, cls_out, prob_out):
+        (cp, pp), out_lo, valid_h = pending
+        cls_out[out_lo : out_lo + valid_h] = np.asarray(cp)[:valid_h]
+        prob_out[out_lo : out_lo + valid_h] = np.asarray(pp)[:valid_h]
+
     def _run_max(self, zone, origins, out_hw):
         S = self.size
         Hp, Wp = out_hw
@@ -279,9 +375,12 @@ class DeviceZoneRunner:
         valid = np.array([1.0] * n + [0.0] * n_pad, np.float32)
 
         t0 = time.perf_counter()
-        zone_dev = jax.device_put(zone_np)
         ob = origins.reshape(-1, B, 2)
         vb = valid.reshape(-1, B)
+        # the banded exact path ships slabs instead of the whole zone; the
+        # other modes gather from the full device-resident zone
+        zone_dev = (None if method == "exact-clipping"
+                    and self.output_type == "argmax" else jax.device_put(zone_np))
 
         if method == "exact-clipping" and self.output_type == "argmax":
             s = S - 2 * m
@@ -291,14 +390,18 @@ class DeviceZoneRunner:
             Ho, Wo = max(H, s), max(W, s)
             inner[:, 0] = np.minimum(inner[:, 0], Ho - s)
             inner[:, 1] = np.minimum(inner[:, 1], Wo - s)
+            n_bands = int(os.environ.get("FLAIRTPU_ZONE_BANDS", "4"))
             if use_sharded:
                 cls, prob = self._run_exact_sharded(
-                    mesh, zone_dev, jnp.asarray(ob),
+                    mesh, jax.device_put(zone_np), jnp.asarray(ob),
                     jnp.asarray(inner.reshape(-1, B, 2)), out_hw=(Ho, Wo))
+            elif n_bands > 1 and len({t.row0 for t in tiles}) >= n_bands:
+                cls, prob = self._run_exact_banded(
+                    zone_np, tiles, pad_lo, out_hw=(Ho, Wo), n_bands=n_bands)
             else:
                 fn = self._program(("exact", Ho, Wo, S, m, self.batch),
                                    lambda: partial(self._run_exact, out_hw=(Ho, Wo)))
-                cls, prob = fn(zone_dev, jnp.asarray(ob),
+                cls, prob = fn(jax.device_put(zone_np), jnp.asarray(ob),
                                jnp.asarray(inner.reshape(-1, B, 2)))
             result = {"cls": np.asarray(cls)[:H, :W], "prob": np.asarray(prob)[:H, :W]}
         elif method in ("average", "average_weights"):
