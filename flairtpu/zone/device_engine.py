@@ -47,8 +47,8 @@ def device_budget_bytes() -> int:
 
 def estimate_bytes(grid: TileGrid, n_channels: int, n_classes: int,
                    method: str) -> int:
-    Hp = grid.height + 2 * grid.margin + grid.patch_size
-    Wp = grid.width + 2 * grid.margin + grid.patch_size
+    Hp = grid.height + 2 * grid.margin
+    Wp = grid.width + 2 * grid.margin
     zone = Hp * Wp * n_channels
     if method in ("average", "average_weights"):
         acc = Hp * Wp * (n_classes + 1) * 4
@@ -355,13 +355,17 @@ class DeviceZoneRunner:
         use_sharded = (mesh is not None and n_dev > 1
                        and method == "exact-clipping"
                        and self.output_type == "argmax")
-        # pad the zone so every full patch window is a valid static slice
+        # pad the zone so every full patch window is a valid static slice:
+        # origins live in [0, H+2m-S] (grid clamps the last row/col), so m on
+        # each side exactly covers every S-row gather; zones smaller than a
+        # patch need extra tail padding so the padded extent reaches S
         pad_lo = m
-        pad_hi = m + S  # covers clamped tiles + gather slack
+        pad_hi_r = max(m, S - H - m)
+        pad_hi_c = max(m, S - W - m)
         t0 = time.perf_counter()
         zone_np = reader.read(self.config["channels"])  # (C, H, W)
         zone_np = np.pad(np.moveaxis(zone_np, 0, -1),
-                         ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
+                         ((pad_lo, pad_hi_r), (pad_lo, pad_hi_c), (0, 0)))
         t_read = time.perf_counter() - t0
 
         tiles = grid.tiles
@@ -390,7 +394,12 @@ class DeviceZoneRunner:
             Ho, Wo = max(H, s), max(W, s)
             inner[:, 0] = np.minimum(inner[:, 0], Ho - s)
             inner[:, 1] = np.minimum(inner[:, 1], Wo - s)
-            n_bands = int(os.environ.get("FLAIRTPU_ZONE_BANDS", "4"))
+            # banding multiplies transfer COUNT (overlapping slabs + per-band
+            # readbacks); on links with high per-transfer latency (the tunneled
+            # dev TPU) that loses to the monolithic single-upload program
+            # (measured 43 vs 63 patches/s), so it is opt-in for hardware with
+            # proper DMA overlap
+            n_bands = int(os.environ.get("FLAIRTPU_ZONE_BANDS", "1"))
             if use_sharded:
                 cls, prob = self._run_exact_sharded(
                     mesh, jax.device_put(zone_np), jnp.asarray(ob),
@@ -405,7 +414,7 @@ class DeviceZoneRunner:
                                jnp.asarray(inner.reshape(-1, B, 2)))
             result = {"cls": np.asarray(cls)[:H, :W], "prob": np.asarray(prob)[:H, :W]}
         elif method in ("average", "average_weights"):
-            Hp, Wp = H + pad_lo + pad_hi, W + pad_lo + pad_hi
+            Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
             fn = self._program((method, Hp, Wp, S, m, self.batch),
                                lambda: partial(self._run_accumulate,
                                                weighted=(method == "average_weights"),
@@ -419,14 +428,14 @@ class DeviceZoneRunner:
                 probs = np.asarray(out)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]
                 result = {"probs": np.moveaxis(probs, -1, 0)}
         elif method == "max":
-            Hp, Wp = H + pad_lo + pad_hi, W + pad_lo + pad_hi
+            Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
             fn = self._program(("max", Hp, Wp, S, m, self.batch),
                                lambda: partial(self._run_max, out_hw=(Hp, Wp)))
             cls, prob = fn(zone_dev, jnp.asarray(ob))
             result = {"cls": np.asarray(cls)[pad_lo:pad_lo + H, pad_lo:pad_lo + W],
                       "prob": np.asarray(prob)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
         else:  # exact-clipping + class_prob
-            Hp, Wp = H + pad_lo + pad_hi, W + pad_lo + pad_hi
+            Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
             fn = self._program(("probs", Hp, Wp, S, m, self.batch),
                                lambda: partial(self._run_accumulate, weighted=False,
                                                out_hw=(Hp, Wp)))
