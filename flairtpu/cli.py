@@ -34,6 +34,10 @@ def flair_main(argv=None) -> None:
 
     initialize_distributed()
     config = cfgmod.validate_train_config(cfgmod.read_config(args.conf))
+    if config.get("accelerator") == "cpu":  # honor the reference's knob
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     out_dir = Path(config["paths"]["out_folder"], config["paths"]["out_model_name"])
     out_dir.mkdir(parents=True, exist_ok=True)
     if is_main_process():

@@ -299,11 +299,21 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
     t_start = time.time()
     global_step = 0
 
+    def _progress_iter(iterable, desc):
+        if not config.get("enable_progress_bar", True):
+            return iterable
+        try:
+            from tqdm import tqdm
+
+            return tqdm(iterable, desc=desc, total=len(train_loader), leave=False)
+        except ImportError:
+            return iterable
+
     num_epochs = int(config.get("num_epochs", 1))
     for epoch in range(start_epoch, num_epochs):
         loss_sum, nb = 0.0, 0
         cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
-        for batch in train_loader:
+        for batch in _progress_iter(train_loader, f"epoch {epoch + 1}/{num_epochs}"):
             img, msk, mtd = trainer._put(batch)
             rng = jax.random.fold_in(base_rng, global_step)
             trainer.params, trainer.batch_stats, trainer.opt_state, loss, bcm = step(

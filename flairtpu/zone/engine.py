@@ -148,6 +148,14 @@ class ZoneEngine:
             progress=None) -> dict:
         fn = self.device_fn(stitcher.needs)
         num_workers = max(int(self.config.get("num_worker", 2)), 1)
+        if progress is None:
+            try:  # reference parity: tqdm over the inference loop (main.py:398)
+                from tqdm import tqdm
+
+                bar = tqdm(total=len(grid.tiles), desc="zone inference", leave=False)
+                progress = bar.update
+            except ImportError:
+                pass
         q: queue.Queue = queue.Queue(maxsize=4)
         producer = threading.Thread(
             target=self._read_batches, args=(reader, grid, q, num_workers),
