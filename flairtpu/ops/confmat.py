@@ -22,14 +22,23 @@ def confusion_matrix(preds: jax.Array, targets: jax.Array, num_classes: int,
 
     Targets outside [0, num_classes) are ignored, matching
     sklearn.confusion_matrix(labels=range(K)) dropping unlisted values.
+
+    Computed as a one-hot contraction on the MXU: element scatters serialize
+    on TPU (a 2M-pixel batch cost ~15x the whole fwd+bwd step), while the
+    (N, K+1)^T @ (N, K+1) matmul is microseconds. bf16 one-hots are exact
+    (0/1) with fp32 accumulation (exact counts to 2^24).
     """
-    t = targets.reshape(-1)
-    p = preds.reshape(-1)
-    valid = (t >= 0) & (t < num_classes) & (p >= 0) & (p < num_classes)
-    idx = jnp.where(valid, t * num_classes + p, num_classes * num_classes)
-    counts = jnp.zeros((num_classes * num_classes + 1,), dtype)
-    counts = counts.at[idx].add(1)
-    return counts[:-1].reshape(num_classes, num_classes)
+    t = targets.reshape(-1).astype(jnp.int32)
+    p = preds.reshape(-1).astype(jnp.int32)
+    k = num_classes
+    # invalid values route to the extra class k, sliced away below
+    t = jnp.where((t >= 0) & (t < k), t, k)
+    p = jnp.where((p >= 0) & (p < k), p, k)
+    t_oh = jax.nn.one_hot(t, k + 1, dtype=jnp.bfloat16)
+    p_oh = jax.nn.one_hot(p, k + 1, dtype=jnp.bfloat16)
+    cm = jax.lax.dot_general(t_oh, p_oh, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return cm[:k, :k].astype(dtype)
 
 
 # --- derived metrics (host or device; fp64 on host for exact parity) --------
