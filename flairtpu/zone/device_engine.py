@@ -412,7 +412,8 @@ class DeviceZoneRunner:
                                    lambda: partial(self._run_exact, out_hw=(Ho, Wo)))
                 cls, prob = fn(jax.device_put(zone_np), jnp.asarray(ob),
                                jnp.asarray(inner.reshape(-1, B, 2)))
-            result = {"cls": np.asarray(cls)[:H, :W], "prob": np.asarray(prob)[:H, :W]}
+            packed = np.asarray(jnp.stack([cls, prob]))  # one D2H round trip
+            result = {"cls": packed[0, :H, :W], "prob": packed[1, :H, :W]}
         elif method in ("average", "average_weights"):
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
             fn = self._program((method, Hp, Wp, S, m, self.batch),
@@ -421,9 +422,9 @@ class DeviceZoneRunner:
                                                out_hw=(Hp, Wp)))
             out = fn(zone_dev, jnp.asarray(ob), jnp.asarray(vb))
             if self.output_type == "argmax":
-                cls, prob = out
-                result = {"cls": np.asarray(cls)[pad_lo:pad_lo + H, pad_lo:pad_lo + W],
-                          "prob": np.asarray(prob)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
+                packed = np.asarray(jnp.stack(out))
+                result = {"cls": packed[0, pad_lo:pad_lo + H, pad_lo:pad_lo + W],
+                          "prob": packed[1, pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
             else:
                 probs = np.asarray(out)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]
                 result = {"probs": np.moveaxis(probs, -1, 0)}
@@ -432,8 +433,9 @@ class DeviceZoneRunner:
             fn = self._program(("max", Hp, Wp, S, m, self.batch),
                                lambda: partial(self._run_max, out_hw=(Hp, Wp)))
             cls, prob = fn(zone_dev, jnp.asarray(ob))
-            result = {"cls": np.asarray(cls)[pad_lo:pad_lo + H, pad_lo:pad_lo + W],
-                      "prob": np.asarray(prob)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
+            packed = np.asarray(jnp.stack([cls, prob]))
+            result = {"cls": packed[0, pad_lo:pad_lo + H, pad_lo:pad_lo + W],
+                      "prob": packed[1, pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
         else:  # exact-clipping + class_prob
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
             fn = self._program(("probs", Hp, Wp, S, m, self.batch),
