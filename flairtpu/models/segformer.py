@@ -201,19 +201,25 @@ class SegformerModel(nn.Module):
 
 _SPEC_RE = re.compile(r"(?:mit-|segformer-)?(b[0-5])")
 _SWIN_RE = re.compile(r"swin-(tiny|small|base|large)")
+_CONVNEXT_RE = re.compile(r"convnext-(tiny|small|base|large|xlarge)")
 
 
 def create_hf_model(org_model: str, n_classes: int, dtype):
     name = org_model.lower()
     sw = _SWIN_RE.search(name)
-    if "upernet" in name or sw:
-        from flairtpu.models.swin_upernet import SwinUperNet
+    cn = _CONVNEXT_RE.search(name)
+    if "upernet" in name or sw or cn:
+        if sw:
+            from flairtpu.models.swin_upernet import SwinUperNet
 
-        if not sw:
-            raise NotImplementedError(
-                f"UperNet backbone in {org_model!r} is not ported (supported: "
-                "swin-tiny/small/base/large).")
-        return SwinUperNet(spec=sw.group(1), classes=n_classes, dtype=dtype)
+            return SwinUperNet(spec=sw.group(1), classes=n_classes, dtype=dtype)
+        if cn:
+            from flairtpu.models.convnext_upernet import ConvNextUperNet
+
+            return ConvNextUperNet(spec=cn.group(1), classes=n_classes, dtype=dtype)
+        raise NotImplementedError(
+            f"UperNet backbone in {org_model!r} is not ported (supported: "
+            "swin-tiny/small/base/large, convnext-tiny/small/base/large/xlarge).")
     m = _SPEC_RE.search(name)
     if not m:
         raise NotImplementedError(

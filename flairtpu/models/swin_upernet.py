@@ -331,33 +331,71 @@ class SwinUperNet(nn.Module):
 # HF torch state dict -> Flax variables
 # ---------------------------------------------------------------------------
 
-def hf_upernet_torch_to_flax(sd: dict[str, np.ndarray]) -> dict:
-    params: dict = {}
-    stats: dict = {}
+def _put(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
 
-    def put(tree, path, value):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = value
 
-    def conv_w(a):
-        return np.transpose(a, (2, 3, 1, 0))
+def _conv_w(a):
+    return np.transpose(a, (2, 3, 1, 0))
 
-    def put_convmodule(base, rest, arr):
-        # rest like ('conv','weight') or ('batch_norm','weight'/... )
+
+def convert_upernet_head_key(key: str, arr: np.ndarray, params: dict,
+                             stats: dict) -> bool:
+    """Handle decode_head.* / auxiliary_head.* keys (shared by all UperNet
+    backbones). Returns True when the key was consumed."""
+    parts = key.split(".")
+
+    def put_convmodule(base, rest):
         if rest[0] == "conv":
-            put(params, base + ("conv", "kernel"), conv_w(arr))
+            _put(params, base + ("conv", "kernel"), _conv_w(arr))
         elif rest[0] == "batch_norm":
             leaf = rest[1]
             if leaf == "weight":
-                put(params, base + ("bn", "scale"), arr)
+                _put(params, base + ("bn", "scale"), arr)
             elif leaf == "bias":
-                put(params, base + ("bn", "bias"), arr)
+                _put(params, base + ("bn", "bias"), arr)
             elif leaf == "running_mean":
-                put(stats, base + ("bn", "mean"), arr)
+                _put(stats, base + ("bn", "mean"), arr)
             elif leaf == "running_var":
-                put(stats, base + ("bn", "var"), arr)
+                _put(stats, base + ("bn", "var"), arr)
+
+    if key.startswith("decode_head."):
+        rest = parts[1:]
+        if rest[0] == "psp_modules":
+            put_convmodule(("decode_head", f"psp{rest[1]}"), rest[3:])
+        elif rest[0] == "bottleneck":
+            put_convmodule(("decode_head", "bottleneck"), rest[1:])
+        elif rest[0] == "lateral_convs":
+            put_convmodule(("decode_head", f"lateral{rest[1]}"), rest[2:])
+        elif rest[0] == "fpn_convs":
+            put_convmodule(("decode_head", f"fpn{rest[1]}"), rest[2:])
+        elif rest[0] == "fpn_bottleneck":
+            put_convmodule(("decode_head", "fpn_bottleneck"), rest[1:])
+        elif rest[0] == "classifier":
+            _put(params, ("decode_head", "classifier",
+                          "kernel" if rest[1] == "weight" else "bias"),
+                 _conv_w(arr) if rest[1] == "weight" else arr)
+        return True
+    if key.startswith("auxiliary_head."):
+        rest = parts[1:]
+        if rest[0] == "convs":
+            put_convmodule(("auxiliary_head", f"conv{rest[1]}"), rest[2:])
+        elif rest[0] == "classifier":
+            _put(params, ("auxiliary_head", "classifier",
+                          "kernel" if rest[1] == "weight" else "bias"),
+                 _conv_w(arr) if rest[1] == "weight" else arr)
+        return True
+    return False
+
+
+def hf_upernet_torch_to_flax(sd: dict[str, np.ndarray]) -> dict:
+    params: dict = {}
+    stats: dict = {}
+    put = _put
+    conv_w = _conv_w
 
     for key, arr in sd.items():
         arr = np.asarray(arr)
@@ -416,31 +454,7 @@ def hf_upernet_torch_to_flax(sd: dict[str, np.ndarray]) -> dict:
             put(params, ("backbone", f"out_norm{i}",
                          "scale" if parts[-1] == "weight" else "bias"), arr)
             continue
-        if key.startswith("decode_head."):
-            rest = parts[1:]
-            if rest[0] == "psp_modules":
-                put_convmodule(("decode_head", f"psp{rest[1]}"), rest[3:], arr)
-            elif rest[0] == "bottleneck":
-                put_convmodule(("decode_head", "bottleneck"), rest[1:], arr)
-            elif rest[0] == "lateral_convs":
-                put_convmodule(("decode_head", f"lateral{rest[1]}"), rest[2:], arr)
-            elif rest[0] == "fpn_convs":
-                put_convmodule(("decode_head", f"fpn{rest[1]}"), rest[2:], arr)
-            elif rest[0] == "fpn_bottleneck":
-                put_convmodule(("decode_head", "fpn_bottleneck"), rest[1:], arr)
-            elif rest[0] == "classifier":
-                put(params, ("decode_head", "classifier",
-                             "kernel" if rest[1] == "weight" else "bias"),
-                    conv_w(arr) if rest[1] == "weight" else arr)
-            continue
-        if key.startswith("auxiliary_head."):
-            rest = parts[1:]
-            if rest[0] == "convs":
-                put_convmodule(("auxiliary_head", f"conv{rest[1]}"), rest[2:], arr)
-            elif rest[0] == "classifier":
-                put(params, ("auxiliary_head", "classifier",
-                             "kernel" if rest[1] == "weight" else "bias"),
-                    conv_w(arr) if rest[1] == "weight" else arr)
+        if convert_upernet_head_key(key, arr, params, stats):
             continue
         raise KeyError(f"unrecognized upernet checkpoint key {key!r}")
 

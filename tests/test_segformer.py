@@ -75,7 +75,7 @@ def test_create_hf_model_dispatch():
     m3 = create_hf_model("openmmlab/upernet-swin-small", 19, jnp.float32)
     assert isinstance(m3, SwinUperNet) and m3.spec == "small"
     with pytest.raises(NotImplementedError, match="not ported"):
-        create_hf_model("openmmlab/upernet-convnext-tiny", 19, jnp.float32)
+        create_hf_model("openmmlab/upernet-beit-base", 19, jnp.float32)
 
 
 def test_hf_pth_loads_strict(torch_segformer, tmp_path):
