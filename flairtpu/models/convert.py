@@ -202,6 +202,11 @@ def _tree_get(tree, path):
 def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
     """Dispatch smp / SegFormer / UperNet-Swin state dicts to their converter."""
     if any(k.startswith("backbone.") for k in sd):
+        # swin keys: backbone.encoder.layers.*; convnext: backbone.encoder.stages.*
+        if any(k.startswith("backbone.encoder.stages.") for k in sd):
+            from flairtpu.models.convnext_upernet import hf_convnext_upernet_torch_to_flax
+
+            return hf_convnext_upernet_torch_to_flax(dict(sd))
         from flairtpu.models.swin_upernet import hf_upernet_torch_to_flax
 
         return hf_upernet_torch_to_flax(dict(sd))

@@ -50,6 +50,19 @@ def test_convnext_upernet_logit_parity(torch_convnext_upernet, rng):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+def test_convnext_pth_loads_via_generic_loader(torch_convnext_upernet, tmp_path):
+    from flairtpu.models import convert
+    from flairtpu.models.factory import init_model
+
+    pth = tmp_path / "convnext_upernet.pth"
+    torch.save(torch_convnext_upernet.state_dict(), pth)
+    fm = ConvNextUperNet(spec="tiny", classes=7)
+    params, stats = init_model(fm, (1, 64, 64, 5))
+    variables = convert.load_checkpoint_variables(
+        pth, {"params": params, "batch_stats": stats}, strict=True)
+    assert "backbone" in variables["params"]
+
+
 def test_convnext_dispatch():
     from flairtpu.models.segformer import create_hf_model
 
