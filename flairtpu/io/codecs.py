@@ -203,9 +203,22 @@ def predictor2_encode(arr: np.ndarray) -> np.ndarray:
 # Dispatch tables
 # ---------------------------------------------------------------------------
 
+def jpeg_decode(data: bytes, expected_size: int | None = None) -> bytes:
+    """New-style JPEG (Compression=7) via PIL; returns raw interleaved bytes."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        import numpy as _np
+
+        return _np.asarray(im).tobytes()
+
+
 DECODERS = {
     1: lambda d, n=None: d,  # none
     5: lzw_decode,
+    7: jpeg_decode,
     8: deflate_decode,  # Adobe deflate
     32773: packbits_decode,
     32946: deflate_decode,  # legacy deflate

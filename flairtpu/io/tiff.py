@@ -64,6 +64,7 @@ TAG_MODELTRANSFORM = 34264
 TAG_GEOKEYDIR = 34735
 TAG_GEODOUBLES = 34736
 TAG_GEOASCII = 34737
+TAG_JPEGTABLES = 347
 TAG_GDAL_NODATA = 42113
 
 _COMPRESS_NAMES = {1: None, 5: "lzw", 8: "deflate", 32773: "packbits", 32946: "deflate"}
@@ -350,6 +351,11 @@ class TiffReader:
         decoder = codecs.DECODERS.get(self.compression)
         if decoder is None:
             raise ValueError(f"Unsupported TIFF compression {self.compression}")
+        if self.compression == 7 and TAG_JPEGTABLES in self.tags:
+            # merge shared JPEG tables: tables stream minus EOI + strip minus SOI
+            tables = bytes(self.tags[TAG_JPEGTABLES])
+            if len(tables) > 4:
+                raw = tables[:-2] + raw[2:]
         data = decoder(raw, nbytes) if self.compression != 1 else raw
         if len(data) < nbytes:
             data = data + b"\x00" * (nbytes - len(data))

@@ -14,7 +14,6 @@ a 4x4/4 conv + LayerNorm; per-out-feature LayerNorms follow the backbone.
 
 from __future__ import annotations
 
-import re
 from typing import Any
 
 import jax

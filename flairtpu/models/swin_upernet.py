@@ -24,7 +24,6 @@ downloads in this environment).
 
 from __future__ import annotations
 
-import re
 from typing import Any, Sequence
 
 import jax

@@ -96,6 +96,30 @@ def make_toy_dataset(root: Path, n_train: int = 32, n_val: int = 8, n_test: int 
     return conf_path
 
 
+def convert_weights(src: Path, dst: Path, conf: Path | None) -> None:
+    """torch .pth/.ckpt -> native .msgpack weights, validated against the
+    model described by --conf when given (smp / SegFormer / UperNet families)."""
+    from flairtpu.models import convert
+    from flairtpu.train.checkpoints import save_weights_msgpack
+
+    sd = convert.normalize_keys(convert.load_torch_state_dict(src))
+    variables = convert.any_state_dict_to_flax(sd)
+    if conf is not None:
+        from flairtpu import config as cfgmod
+        from flairtpu.models.factory import create_model, init_model
+
+        cfg = cfgmod.read_config(conf)
+        model = create_model(cfg)
+        n_ch = len(cfg["channels"])
+        params, stats = init_model(model, (1, 64, 64, n_ch))
+        convert.validate_against(variables,
+                                 {"params": params, "batch_stats": stats})
+        print("    [x] checkpoint matches the configured model (strict)")
+    save_weights_msgpack(dst, variables["params"],
+                         variables.get("batch_stats", {}))
+    print(f"    [x] wrote {dst}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="python -m flairtpu.tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -109,10 +133,19 @@ def main(argv=None):
     p.add_argument("--val", type=int, default=8)
     p.add_argument("--test", type=int, default=8)
     p.add_argument("--seed", type=int, default=2022)
+    c = sub.add_parser("convert-weights",
+                       help="convert a torch .pth/.ckpt to native .msgpack")
+    c.add_argument("src")
+    c.add_argument("dst")
+    c.add_argument("--conf", default=None,
+                   help="YAML config to strict-validate the checkpoint against")
     args = parser.parse_args(argv)
     if args.cmd == "make-toy-dataset":
         make_toy_dataset(Path(args.root), args.train, args.val, args.test,
                          args.size, args.classes, args.channels, args.seed)
+    elif args.cmd == "convert-weights":
+        convert_weights(Path(args.src), Path(args.dst),
+                        Path(args.conf) if args.conf else None)
 
 
 if __name__ == "__main__":
