@@ -102,8 +102,9 @@ class DeviceZoneRunner:
 
     # -- programs per stitching mode --
 
-    def _run_exact(self, zone, origins, inner_pos, out_hw):
+    def _run_exact(self, zone, origins, inner_pos, out_hw, pad):
         """exact-clipping: scatter cropped (cls, prob) into output planes."""
+        zone = jnp.pad(zone, (pad[0], pad[1], (0, 0)))
         S, m = self.size, self.margin
         s = S - 2 * m
         H, W = out_hw
@@ -131,8 +132,9 @@ class DeviceZoneRunner:
         (cls_plane, prob_plane), _ = jax.lax.scan(step, init, (origins, inner_pos))
         return cls_plane, prob_plane
 
-    def _run_accumulate(self, zone, origins, valid, weighted, out_hw):
+    def _run_accumulate(self, zone, origins, valid, weighted, out_hw, pad):
         """average / average_weights: accumulate probs + divisor on device."""
+        zone = jnp.pad(zone, (pad[0], pad[1], (0, 0)))
         S, m = self.size, self.margin
         Hp, Wp = out_hw  # padded accumulation planes
         K = self.n_classes
@@ -312,7 +314,8 @@ class DeviceZoneRunner:
         cls_out[out_lo : out_lo + valid_h] = np.asarray(cp)[:valid_h]
         prob_out[out_lo : out_lo + valid_h] = np.asarray(pp)[:valid_h]
 
-    def _run_max(self, zone, origins, out_hw):
+    def _run_max(self, zone, origins, out_hw, pad):
+        zone = jnp.pad(zone, (pad[0], pad[1], (0, 0)))
         S = self.size
         Hp, Wp = out_hw
 
@@ -363,9 +366,9 @@ class DeviceZoneRunner:
         pad_hi_r = max(m, S - H - m)
         pad_hi_c = max(m, S - W - m)
         t0 = time.perf_counter()
-        zone_np = reader.read(self.config["channels"])  # (C, H, W)
-        zone_np = np.pad(np.moveaxis(zone_np, 0, -1),
-                         ((pad_lo, pad_hi_r), (pad_lo, pad_hi_c), (0, 0)))
+        zone_np = np.ascontiguousarray(
+            np.moveaxis(reader.read(self.config["channels"]), 0, -1))  # (H, W, C)
+        pad = ((pad_lo, pad_hi_r), (pad_lo, pad_hi_c))
         t_read = time.perf_counter() - t0
 
         tiles = grid.tiles
@@ -401,25 +404,27 @@ class DeviceZoneRunner:
             # proper DMA overlap
             n_bands = int(os.environ.get("FLAIRTPU_ZONE_BANDS", "1"))
             if use_sharded:
+                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_exact_sharded(
-                    mesh, jax.device_put(zone_np), jnp.asarray(ob),
+                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
                     jnp.asarray(inner.reshape(-1, B, 2)), out_hw=(Ho, Wo))
             elif n_bands > 1 and len({t.row0 for t in tiles}) >= n_bands:
+                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_exact_banded(
-                    zone_np, tiles, pad_lo, out_hw=(Ho, Wo), n_bands=n_bands)
+                    zone_padded, tiles, pad_lo, out_hw=(Ho, Wo), n_bands=n_bands)
             else:
-                fn = self._program(("exact", Ho, Wo, S, m, self.batch),
-                                   lambda: partial(self._run_exact, out_hw=(Ho, Wo)))
+                fn = self._program(("exact", Ho, Wo, S, m, self.batch, pad),
+                                   lambda: partial(self._run_exact, out_hw=(Ho, Wo), pad=pad))
                 cls, prob = fn(jax.device_put(zone_np), jnp.asarray(ob),
                                jnp.asarray(inner.reshape(-1, B, 2)))
             packed = np.asarray(jnp.stack([cls, prob]))  # one D2H round trip
             result = {"cls": packed[0, :H, :W], "prob": packed[1, :H, :W]}
         elif method in ("average", "average_weights"):
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
-            fn = self._program((method, Hp, Wp, S, m, self.batch),
+            fn = self._program((method, Hp, Wp, S, m, self.batch, pad),
                                lambda: partial(self._run_accumulate,
                                                weighted=(method == "average_weights"),
-                                               out_hw=(Hp, Wp)))
+                                               out_hw=(Hp, Wp), pad=pad))
             out = fn(zone_dev, jnp.asarray(ob), jnp.asarray(vb))
             if self.output_type == "argmax":
                 packed = np.asarray(jnp.stack(out))
@@ -430,17 +435,17 @@ class DeviceZoneRunner:
                 result = {"probs": np.moveaxis(probs, -1, 0)}
         elif method == "max":
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
-            fn = self._program(("max", Hp, Wp, S, m, self.batch),
-                               lambda: partial(self._run_max, out_hw=(Hp, Wp)))
+            fn = self._program(("max", Hp, Wp, S, m, self.batch, pad),
+                               lambda: partial(self._run_max, out_hw=(Hp, Wp), pad=pad))
             cls, prob = fn(zone_dev, jnp.asarray(ob))
             packed = np.asarray(jnp.stack([cls, prob]))
             result = {"cls": packed[0, pad_lo:pad_lo + H, pad_lo:pad_lo + W],
                       "prob": packed[1, pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
         else:  # exact-clipping + class_prob
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
-            fn = self._program(("probs", Hp, Wp, S, m, self.batch),
+            fn = self._program(("probs", Hp, Wp, S, m, self.batch, pad),
                                lambda: partial(self._run_accumulate, weighted=False,
-                                               out_hw=(Hp, Wp)))
+                                               out_hw=(Hp, Wp), pad=pad))
             out = fn(zone_dev, jnp.asarray(ob), jnp.asarray(vb))
             probs = np.asarray(out)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]
             result = {"probs": np.moveaxis(probs, -1, 0)}
