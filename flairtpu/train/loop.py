@@ -90,6 +90,12 @@ class SegmentationTrainer:
             stds=tuple(config.get("norm_stds") or ()),
         )
         self.model = create_model(config, dtype=self.dtype)
+        # optional auxiliary segmentation loss (UperNet family; HF trains with
+        # weight 0.4 — the reference's Lightning path never does, so default 0)
+        self.aux_weight = float(config.get("auxiliary_loss_weight", 0.0))
+        if self.aux_weight and not getattr(self.model, "with_aux_head", False):
+            raise ValueError(
+                "auxiliary_loss_weight set but the model has no auxiliary head")
         init_hw = 512 if self.use_metadata else 64
         n_ch = len(config["channels"])
         self.params, self.batch_stats = init_model(
@@ -131,10 +137,13 @@ class SegmentationTrainer:
         # (reference data_loader.py:65-69 + task_module.py:71)
         return jnp.where((msk >= 0) & (msk < self.num_classes), msk, 0)
 
-    def _apply(self, variables, x, mtd, train, rngs=None, mutable=False):
+    def _apply(self, variables, x, mtd, train, rngs=None, mutable=False,
+               return_aux=False):
         args = (x, mtd) if self.use_metadata else (x,)
+        kwargs = {"return_aux": True} if return_aux else {}
         return self.model.apply(variables, *args, train=train, rngs=rngs,
-                                mutable=["batch_stats"] if mutable else False)
+                                mutable=["batch_stats"] if mutable else False,
+                                **kwargs)
 
     # -- steps --
 
@@ -151,9 +160,16 @@ class SegmentationTrainer:
             x = normalize_device(img, src_dtype=np.uint8, **self.norm)
 
             def loss_fn(p):
+                use_aux = self.aux_weight > 0
                 out, mut = self._apply(
                     {"params": p, "batch_stats": batch_stats}, x, mtd,
-                    train=True, rngs={"dropout": dropout_key}, mutable=True)
+                    train=True, rngs={"dropout": dropout_key}, mutable=True,
+                    return_aux=use_aux)
+                if use_aux:
+                    logits, aux = out
+                    loss = self._loss(logits, tgt) + \
+                        self.aux_weight * self._loss(aux, tgt)
+                    return loss, (mut["batch_stats"], logits)
                 return self._loss(out, tgt), (mut["batch_stats"], out)
 
             (loss, (new_stats, logits)), grads = jax.value_and_grad(

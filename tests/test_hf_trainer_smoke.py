@@ -39,3 +39,54 @@ def test_hf_provider_train_step(org_model, rng):
         img, msk, mtd, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
     assert np.asarray(cm).sum() == 2 * 64 * 64
+
+
+def test_upernet_aux_loss_training(rng):
+    """auxiliary_loss_weight trains both heads (HF-style aux supervision)."""
+    import jax
+
+    config = {
+        "model_framework": {
+            "model_provider": "HuggingFace",
+            "HuggingFace": {"org_model": "openmmlab/upernet-convnext-tiny"},
+        },
+        "use_metadata": False, "use_augmentation": False, "use_weights": True,
+        "channels": [1, 2, 3],
+        "norm_type": "scaling", "norm_means": [], "norm_stds": [],
+        "classes": {i: [1, f"c{i}"] for i in range(1, 4)},
+        "batch_size": 2, "learning_rate": 0.01, "seed": 0,
+        "auxiliary_loss_weight": 0.4,
+    }
+    trainer = SegmentationTrainer(config)
+    assert trainer.aux_weight == 0.4
+    step = trainer.train_step()
+    batch = {
+        "img": rng.integers(0, 255, size=(2, 64, 64, 3)).astype(np.uint8),
+        "msk": rng.integers(0, 3, size=(2, 64, 64)).astype(np.int32),
+    }
+    img, msk, mtd = trainer._put(batch)
+    before = np.asarray(
+        trainer.params["auxiliary_head"]["classifier"]["kernel"]).copy()
+    params, *_rest, loss, cm = step(
+        trainer.params, trainer.batch_stats, trainer.opt_state,
+        img, msk, mtd, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    after = np.asarray(params["auxiliary_head"]["classifier"]["kernel"])
+    assert not np.allclose(before, after)  # aux head actually supervised
+
+
+def test_aux_weight_without_aux_head_raises():
+    import pytest
+
+    config = {
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": "resnet18_unet"},
+        },
+        "channels": [1, 2, 3],
+        "norm_type": "scaling", "norm_means": [], "norm_stds": [],
+        "classes": {1: [1, "a"], 2: [1, "b"]},
+        "batch_size": 2, "auxiliary_loss_weight": 0.4,
+    }
+    with pytest.raises(ValueError, match="auxiliary"):
+        SegmentationTrainer(config)
