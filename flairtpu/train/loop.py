@@ -341,7 +341,13 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
             global_step += 1
         tm = _epoch_metrics(loss_sum, nb, cm)
 
-        vm = evaluate(trainer, val_loader)
+        if epoch == start_epoch:  # profile the first epoch when enabled
+            from flairtpu.utils.profiling import maybe_trace
+
+            with maybe_trace("val-epoch"):
+                vm = evaluate(trainer, val_loader)
+        else:
+            vm = evaluate(trainer, val_loader)
         per_class = np.asarray(per_class_jaccard(jnp.asarray(vm["confmat"])))
 
         scalars = {"train_loss": tm["loss"], "train_miou": tm["miou"],

@@ -349,12 +349,16 @@ def run_pipeline(config: dict) -> None:
         model, params, batch_stats = prepare_model(config)
         engine = ZoneEngine(config, model, params, batch_stats)
 
+        from flairtpu.utils.profiling import maybe_trace
+
         if config.get("compare"):
             from flairtpu.zone.compare import run_compare
 
-            run_compare(config, engine)
+            with maybe_trace("zone-compare"):
+                run_compare(config, engine)
         else:
             stride = get_stride(config)[0]
-            run_single(config, engine, stride, "exact-clipping")
+            with maybe_trace("zone-detect"):
+                run_single(config, engine, stride, "exact-clipping")
     finally:
         untee_stdout()
