@@ -389,5 +389,8 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         best = manager.restore_best(like)
         trainer.load_state(best)
         progress(f"    [x] restored best checkpoint: {manager.best_path.name}")
+        final = evaluate(trainer, val_loader)  # post-fit validate (tasks.py:107)
+        progress(f"    [x] best-checkpoint validation: val_loss={final['val_loss']:.4f} "
+                 f"val_miou={final['val_miou']:.4f}")
     return trainer, {"history": history, "best_path": str(manager.best_path),
                      "seconds": elapsed}
