@@ -123,6 +123,18 @@ def convert_weights(src: Path, dst: Path, conf: Path | None) -> None:
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="python -m flairtpu.tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
+    e = sub.add_parser("error-maps",
+                       help="per-method error-rate heat maps from predictions")
+    e.add_argument("--truth-dir", required=True)
+    e.add_argument("--pred-dir", required=True)
+    e.add_argument("--out-dir", required=True)
+    e.add_argument("--sigma", type=float, default=2.0)
+    a = sub.add_parser("analyze-compare",
+                       help="aggregate + plot compare-sweep metrics by parameter")
+    a.add_argument("metrics_json")
+    a.add_argument("--param", default="size")
+    a.add_argument("--metric", default="mIoU")
+    a.add_argument("--out-png", default=None)
     p = sub.add_parser("make-toy-dataset",
                        help="generate a synthetic FLAIR-style toy dataset")
     p.add_argument("--root", default="toy_dataset")
@@ -146,6 +158,23 @@ def main(argv=None):
     elif args.cmd == "convert-weights":
         convert_weights(Path(args.src), Path(args.dst),
                         Path(args.conf) if args.conf else None)
+    elif args.cmd == "error-maps":
+        from flairtpu.zone.error_maps import error_rate_loop
+
+        out = error_rate_loop(Path(args.truth_dir), Path(args.out_dir),
+                              Path(args.pred_dir), sigma=args.sigma)
+        for method, png in out.items():
+            print(f"    [x] {method}: {png}")
+    elif args.cmd == "analyze-compare":
+        from flairtpu.zone.analysis import (analyze_param, flatten_metrics,
+                                            load_metrics_json, plot_metrics)
+
+        rows = flatten_metrics(load_metrics_json(args.metrics_json))
+        points = analyze_param(rows, args.param, args.metric)
+        for value, mean in points:
+            print(f"    {args.param}={value:g}: {args.metric}={mean:.4f}")
+        if points:
+            plot_metrics(points, args.param, args.metric, out_png=args.out_png)
 
 
 if __name__ == "__main__":

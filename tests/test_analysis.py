@@ -27,3 +27,17 @@ def test_plot_metrics(tmp_path):
     points = analyze_param(rows, "size", "mIoU")
     png = plot_metrics(points, "size", "mIoU", out_png=tmp_path / "p.png")
     assert png.exists() and png.stat().st_size > 1000
+
+
+def test_analyze_compare_cli(tmp_path, capsys):
+    import json
+
+    from flairtpu.tools import main as tools_main
+
+    (tmp_path / "m.json").write_text(json.dumps(_records()))
+    tools_main(["analyze-compare", str(tmp_path / "m.json"),
+                "--param", "size", "--metric", "mIoU",
+                "--out-png", str(tmp_path / "plot.png")])
+    out = capsys.readouterr().out
+    assert "size=128: mIoU=42.0000" in out
+    assert (tmp_path / "plot.png").exists()
