@@ -574,9 +574,13 @@ class TiffWriter:
         self.write_band(list(range(1, self.count + 1)), data, window)
 
     def read(self, window: Window | None = None) -> np.ndarray:
-        """Read back written data (for read-modify-write stitching)."""
+        """Read back written data (for read-modify-write stitching).
+
+        Returns a copy: a view of the scratch memmap would dangle (and
+        segfault) once close() unmaps it.
+        """
         if window is None:
-            return np.asarray(self._buf)
+            return np.array(self._buf)
         c0, r0, w, h = window.rounded()
         rr0, cc0 = max(r0, 0), max(c0, 0)
         rr1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)

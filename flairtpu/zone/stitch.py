@@ -54,7 +54,9 @@ def _release(arr):
 
 
 def to_uint8_prob(p: np.ndarray) -> np.ndarray:
-    return (p * 255.0).astype(np.uint8)
+    # rint, not truncation: keeps host stitchers bit-identical to the device
+    # programs (jnp.round) so the two zone paths agree exactly
+    return np.rint(p * 255.0).astype(np.uint8)
 
 
 class ExactClipStitcher:
