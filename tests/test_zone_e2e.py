@@ -201,3 +201,47 @@ def test_compare_sweep_with_metrics(zone_setup):
     for t in tifs:
         with TiffReader(t) as r:
             assert (r.read(2) > 0).all()
+
+
+def test_tiny_zone_smaller_than_inner_patch(zone_setup):
+    """Zone smaller than size-2*margin: tail padding must keep gathers valid."""
+    tmp, make_config, _, _ = zone_setup
+    rng = np.random.default_rng(9)
+    tiny = rng.integers(0, 255, size=(5, 10, 12)).astype(np.uint8)
+    p = tmp / "tiny.tif"
+    from flairtpu.io.tiff import Affine, write_array
+
+    write_array(p, tiny, transform=Affine.from_origin(0, 50, 0.2, 0.2), crs=2154)
+    cfg = cfgmod.validate_detect_config(make_config(
+        metrics=False, compare=False, input_img_path=str(p),
+        output_name="tiny-ARGMAX-S", output_path=str(tmp / "out_tiny")))
+    _run(cfg)
+    with TiffReader(Path(cfg["output_path"]) / "tiny-ARGMAX-S.tif") as r:
+        assert (r.width, r.height) == (12, 10)
+        assert (r.read(2) > 0).all()
+
+
+def test_streaming_zero_patch_fallback(zone_setup, monkeypatch, capsys):
+    """A failing tile read degrades to a zero patch, not a crash
+    (reference dataset.py:115-122 semantics)."""
+    tmp, make_config, _, _ = zone_setup
+    monkeypatch.setenv("FLAIRTPU_STREAMING_ZONE", "1")
+    from flairtpu.io import TiffReader as TR
+
+    real_read = TR.read
+    calls = {"n": 0}
+
+    def flaky_read(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3 and k.get("boundless"):  # fail one tile read
+            raise OSError("synthetic decode failure")
+        return real_read(self, *a, **k)
+
+    monkeypatch.setattr(TR, "read", flaky_read)
+    cfg = cfgmod.validate_detect_config(make_config(
+        metrics=False, compare=False, output_path=str(tmp / "out_flaky")))
+    _run(cfg)
+    monkeypatch.setattr(TR, "read", real_read)
+    out = Path(cfg["output_path"]) / "zone_irc-ARGMAX-S.tif"
+    with TiffReader(out) as r:
+        assert (r.read(2) > 0).all()  # pipeline completed, every pixel written
