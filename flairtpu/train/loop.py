@@ -367,8 +367,11 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         manager.on_epoch_end(epoch, metrics, trainer.state().as_dict())
         history.append({"epoch": epoch, **metrics})
 
-        new_lr = plateau.step(metrics[manager.monitor]
-                              if manager.monitor in metrics else vm["val_loss"])
+        # The reference scheduler always monitors val_loss in min mode
+        # regardless of ckpt_monitor (task_module.py:156-168 hardcodes
+        # monitor='val_loss'; tasks_utils.py:95-104 mode='min'); only
+        # checkpointing/early-stopping follow ckpt_monitor (tasks.py:47-63).
+        new_lr = plateau.step(vm["val_loss"])
         trainer.opt_state = set_learning_rate(trainer.opt_state, new_lr)
         if stopper.step(metrics.get(manager.monitor, vm["val_loss"])):
             progress(f"    [x] early stopping at epoch {epoch + 1}")

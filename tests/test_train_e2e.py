@@ -82,6 +82,40 @@ def test_resume_from_last(toy_run, tmp_path):
     assert [h["epoch"] for h in info2["history"]] == [4]
 
 
+def test_plateau_monitors_val_loss_not_ckpt_monitor(tmp_path, monkeypatch):
+    """With ckpt_monitor=val_miou/max, the LR must NOT decay while mIoU
+    improves: the reference plateau scheduler always watches val_loss in min
+    mode (task_module.py:156-168, tasks_utils.py:95-104); only checkpointing
+    and early stopping follow ckpt_monitor (tasks.py:47-63)."""
+    from flairtpu.train import loop as loop_mod
+
+    cfg = cfgmod.validate_train_config(toy_train_config(
+        tmp_path, num_epochs=13, learning_rate=0.1,
+        ckpt_monitor="val_miou", ckpt_monitor_mode="max"))
+    # keep each epoch to one tiny batch
+    train_csv = Path(cfg["paths"]["train_csv"]).read_text().splitlines()[:2]
+    Path(cfg["paths"]["train_csv"]).write_text("\n".join(train_csv) + "\n")
+    dict_train = gather_paths(cfg, "train")
+    dict_val = gather_paths(cfg, "val")
+
+    calls = {"n": 0}
+
+    def scripted_evaluate(trainer, loader):
+        calls["n"] += 1
+        i = calls["n"]
+        # both metrics strictly improving every epoch
+        return {"val_loss": 1.0 / i, "val_miou": 1.0 - 1.0 / (i + 1),
+                "confmat": np.eye(trainer.num_classes, dtype=np.int64)}
+
+    monkeypatch.setattr(loop_mod, "evaluate", scripted_evaluate)
+    out_dir = tmp_path / "out" / "plateau"
+    loop_mod.fit(cfg, dict_train, dict_val, out_dir)
+    lrs = [json.loads(line)["lr"]
+           for line in (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert len(lrs) == 13
+    assert all(lr == pytest.approx(0.1) for lr in lrs), lrs
+
+
 def test_init_weights_with_class_surgery(toy_run, tmp_path):
     """Weights-only init from a ckpt with a different class count."""
     config, _, info, out_dir, _ = toy_run
