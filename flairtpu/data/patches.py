@@ -66,7 +66,8 @@ class PatchLoader:
 
     def __init__(self, dataset: PatchDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 2022, drop_last: bool = False,
-                 num_workers: int = 4, prefetch: int = 4):
+                 num_workers: int = 4, prefetch: int = 4,
+                 shard: tuple[int, int] | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -74,10 +75,28 @@ class PatchLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        # (process_index, process_count): each process reads a disjoint
+        # interleaved subset — the DistributedSampler analog for DCN training.
+        # The shuffled order is seed-deterministic and identical across
+        # processes, so the union of shards is exactly one epoch.
+        self.shard = shard
         self._epoch = 0
+
+    def _shard_indices(self, idx: np.ndarray) -> np.ndarray:
+        if self.shard is None:
+            return idx
+        rank, world = self.shard
+        # pad to a multiple of world with wrapped samples so every process
+        # yields the same number of batches (DistributedSampler semantics)
+        pad = (-len(idx)) % world
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx[rank::world]
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard is not None:
+            n = -(-n // self.shard[1])
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_batches(self) -> list[np.ndarray]:
@@ -85,6 +104,7 @@ class PatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
+        idx = self._shard_indices(idx)
         batches = []
         for i in range(0, len(idx), self.batch_size):
             b = idx[i : i + self.batch_size]

@@ -20,9 +20,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_distributed() -> None:
-    """Multi-host bring-up (DCN): no-op unless a coordinator is configured."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (DCN) — the NCCL/Lightning-DDP `num_nodes`
+    equivalent (reference src/flair/tasks.py:83-93).
+
+    With explicit args (a launcher or test harness), initializes the
+    jax.distributed client directly. With no args, initializes from the
+    environment when a coordinator is configured (JAX_COORDINATOR_ADDRESS,
+    or TPU pod metadata that jax.distributed.initialize auto-detects).
+    Safe to call more than once.
+    """
+    # NB: jax.process_count() would itself initialize the XLA backend, which
+    # forbids a later jax.distributed.initialize — probe the client directly.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:  # private-module layout changed; fall through
+        pass
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 
 
@@ -51,11 +74,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Mapping[str, Any], mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put a host batch with dim-0 sharding (lists pass through)."""
+    """Device-put a host batch with dim-0 sharding (lists pass through).
+
+    Single-process: a plain sharded device_put. Multi-process (DCN): each
+    process contributes its LOCAL slice of the global batch (the
+    DistributedSampler analog — pair with the loaders' ``shard=`` option) and
+    the global array is assembled with make_array_from_process_local_data.
+    """
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim, axis))
+            sharding = batch_sharding(mesh, v.ndim, axis)
+            if multiprocess:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out
