@@ -208,6 +208,17 @@ def create_hf_model(org_model: str, n_classes: int, dtype):
     name = org_model.lower()
     sw = _SWIN_RE.search(name)
     cn = _CONVNEXT_RE.search(name)
+    if "beit" in name:
+        import re
+
+        from flairtpu.models.beit_upernet import BeitUperNet
+
+        bm = re.search(r"beit-(base|large)", name)
+        if not bm:
+            raise NotImplementedError(
+                f"BEiT size in {org_model!r} is not ported (supported: "
+                "beit-base, beit-large, e.g. microsoft/beit-base-finetuned-ade-640-640).")
+        return BeitUperNet(spec=bm.group(1), classes=n_classes, dtype=dtype)
     if "upernet" in name or sw or cn:
         if sw:
             from flairtpu.models.swin_upernet import SwinUperNet
@@ -219,14 +230,17 @@ def create_hf_model(org_model: str, n_classes: int, dtype):
             return ConvNextUperNet(spec=cn.group(1), classes=n_classes, dtype=dtype)
         raise NotImplementedError(
             f"UperNet backbone in {org_model!r} is not ported (supported: "
-            "swin-tiny/small/base/large, convnext-tiny/small/base/large/xlarge).")
+            "swin-tiny/small/base/large, convnext-tiny/small/base/large/xlarge, "
+            "beit-base/large).")
     m = _SPEC_RE.search(name)
     if not m:
         raise NotImplementedError(
             f"HuggingFace model {org_model!r} is not in the ported TPU-native zoo. "
-            "Supported: SegFormer (nvidia/segformer-b0..b5, nvidia/mit-b0..b5) and "
-            "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large). For "
-            "ResNet-U-Net use the SegmentationModelsPytorch provider.")
+            "Supported: SegFormer (nvidia/segformer-b0..b5, nvidia/mit-b0..b5), "
+            "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large), "
+            "UperNet-ConvNeXt (openmmlab/upernet-convnext-*) and BEiT "
+            "(microsoft/beit-base/large-finetuned-ade-*). For ResNet-U-Net use "
+            "the SegmentationModelsPytorch provider.")
     return SegformerModel(spec=m.group(1), classes=n_classes, dtype=dtype)
 
 
