@@ -41,8 +41,13 @@ def metrics(config: dict, path_preds: str | Path, remove_preds: bool = False) ->
     path_preds = Path(path_preds)
     images, msks = read_split_csv(config["paths"]["test_csv"], "test")
     preds = [path_preds / f"PRED_{img.split('/')[-1]}" for img in images]
-    assert len(msks) == len(preds), \
-        "[WARNING !] mismatch number of predictions and test files."
+    # compare against prediction files actually present on disk (the
+    # reference globs the prediction dir, metrics.py:50-58) so a partial
+    # predict run fails loudly instead of per-index read errors
+    on_disk = len(list(path_preds.glob("PRED_*.tif")))
+    assert len(msks) == on_disk, \
+        (f"[WARNING !] mismatch number of predictions and test files: "
+         f"{on_disk} PRED_*.tif on disk vs {len(msks)} truth masks.")
 
     print("-- Calculating metrics --")
     k = cfgmod.num_classes(config)

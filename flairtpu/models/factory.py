@@ -7,9 +7,11 @@ Provider dispatch mirrors the reference FLAIR_ModelFactory
   other resnet encoders) -> first-party Flax ResNet-U-Net, weight-compatible
   with the published FLAIR-INC ``.pth`` checkpoints via
   :mod:`flairtpu.models.convert`.
-- ``HuggingFace`` -> Flax SegFormer (flairtpu.models.segformer) for the
-  ``nvidia/segformer*`` family and UPerNet-ConvNeXt-style configs are not yet
-  ported; unsupported org models raise with a clear message.
+- ``HuggingFace`` -> first-party Flax ports dispatched by org model name:
+  SegFormer b0-b5 (``nvidia/segformer*``), Swin-UperNet
+  (``openmmlab/upernet-swin-*``, the reference default) and ConvNeXt-UperNet
+  (``openmmlab/upernet-convnext-*``); unsupported org models raise with a
+  clear message listing the supported families.
 
 The returned module computes in ``dtype`` (bf16 by default on TPU for MXU
 throughput) with fp32 parameters and fp32 logits.

@@ -152,3 +152,30 @@ def test_gen_param_combination_overlap_strat(tmp_path, rng):
     cfg = cfgmod.validate_detect_config(cfg)
     combos = cfgmod.gen_param_combination(cfg)
     assert [c["stride"] for c in combos] == [32]
+
+
+def test_shipped_configs_parse():
+    """All four shipped YAMLs (reference configs/ parity) are valid YAML with
+    the expected schema anchors (paths in them are placeholders, so full
+    validation is exercised by the e2e tests instead)."""
+    from pathlib import Path
+
+    cfg_dir = Path(__file__).parent.parent / "configs"
+    names = {p.name for p in cfg_dir.glob("*.yaml")}
+    assert {"flair-1-config.yaml", "flair-1-config-detect.yaml",
+            "flair-1-config-detect-compare.yaml",
+            "config_detect_compare_metrics.yaml"} <= names
+    for p in cfg_dir.glob("*.yaml"):
+        cfg = yaml.safe_load(p.read_text())
+        assert isinstance(cfg, dict), p.name
+        if "img_pixels_detection" in cfg:  # detect-style configs
+            assert cfg["model_framework"]["model_provider"] in (
+                "HuggingFace", "SegmentationModelsPytorch")
+            assert isinstance(cfg["norma_task"], list)
+        else:  # train config
+            assert "tasks" in cfg and "classes" in cfg
+    # the worked sweep example mirrors the reference's strategy block
+    sweep = yaml.safe_load((cfg_dir / "config_detect_compare_metrics.yaml").read_text())
+    assert sweep["strategies"]["tiling"]["size_range"] == [128, 256, 512, 1024, 2048]
+    assert set(sweep["strategies"]["stitching"]["methods"]) == {
+        "average", "average_weights", "max", "exact-clipping"}
