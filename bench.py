@@ -6,12 +6,16 @@ Runs the production flair-detect path end-to-end on a synthetic 4096x4096
 exact-clipping stitch -> tiled LZW raster written. FLAIR production geometry:
 512-pixel tiles, 128-pixel margin, stride 256.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 55.0 — an estimate of the reference pipeline's
-single-GPU throughput ceiling (fp32 resnet34-unet 512^2 forward on a V100-class
-GPU serialized against per-patch GDAL reads/writes; the reference repo
-publishes no throughput numbers, SURVEY.md §6). The BASELINE.json target is
-vs_baseline >= 10.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+measured compute/H2D/D2H split of the best pass. ``vs_baseline`` divides by
+max(measured reference loop, 55.0 GPU estimate): benchmarks/torch_baseline.py
+measures the faithful torch reference loop on this host (0.37 patches/s,
+torch 2.13 CPU — no CUDA exists here) and caches it in
+.bench_cache/ref_baseline.json; since the reference's published hardware is a
+GPU cluster, the 55.0 V100-class estimate (fp32 resnet34-unet 512^2 forward
+serialized against per-patch GDAL I/O; the reference publishes no throughput
+numbers, SURVEY.md §6) is kept as the conservative floor for the denominator.
+The BASELINE.json target is vs_baseline >= 10.
 """
 
 from __future__ import annotations
@@ -22,7 +26,21 @@ from pathlib import Path
 
 import numpy as np
 
-REF_PATCHES_PER_SEC = 55.0  # estimated reference GPU pipeline throughput
+REF_GPU_ESTIMATE = 55.0  # estimated reference GPU pipeline throughput
+
+
+def ref_patches_per_sec() -> float:
+    """max(measured host reference loop, GPU estimate) — see module docstring."""
+    if os.environ.get("BENCH_REF_PPS"):
+        return float(os.environ["BENCH_REF_PPS"])
+    measured = 0.0
+    cached = Path(__file__).parent / "benchmarks" / "ref_baseline_measured.json"
+    if cached.exists():
+        measured = float(json.loads(cached.read_text())["patches_per_sec"])
+    return max(measured, REF_GPU_ESTIMATE)
+
+
+REF_PATCHES_PER_SEC = ref_patches_per_sec()
 
 ZONE = 4096
 SIZE, MARGIN = 512, 128
@@ -152,13 +170,22 @@ def main() -> None:
     stats = best
     out_path.unlink(missing_ok=True)
     pps = stats["patches_per_sec"]
-    print(json.dumps({
+    line = {
         "metric": f"zone-detect 512^2 5-ch patches/sec/chip ({backend}, "
                   f"{stats['tiles']} tiles incl. raster write)",
         "value": round(pps, 2),
         "unit": "patches/sec",
         "vs_baseline": round(pps / REF_PATCHES_PER_SEC, 2),
-    }))
+    }
+    # compute/transfer split of the best pass (driver-recorded every round;
+    # the tunnel's transfer share varies, compute_seconds is the stable part)
+    for k in ("read_seconds", "h2d_seconds", "compute_seconds", "d2h_seconds"):
+        if k in stats:
+            line[k] = round(stats[k], 3)
+    if stats.get("compute_seconds"):
+        line["compute_patches_per_sec"] = round(
+            stats["tiles"] / stats["compute_seconds"], 2)
+    print(json.dumps(line))
 
 
 def _watchdog(seconds: int):

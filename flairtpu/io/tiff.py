@@ -278,15 +278,25 @@ class TiffReader:
         return list(struct.unpack(bo + f * cnt, raw))
 
     def _parse_crs(self):
+        # GeoKeys are sorted ascending by ID, so GeographicTypeGeoKey (2048)
+        # always precedes ProjectedCSTypeGeoKey (3072). Projected rasters
+        # often carry BOTH (GDAL records the geographic base CRS too, e.g.
+        # Lambert-93 zones with 4171+2154); the projected key must win or the
+        # wrong EPSG propagates into every output raster's profile.
         gk = self.tags.get(TAG_GEOKEYDIR)
         if not gk:
             return None
         nkeys = int(gk[3])
+        geographic = None
         for k in range(nkeys):
             key_id, loc, cnt, val = gk[4 + 4 * k : 8 + 4 * k]
-            if key_id in (3072, 2048) and loc == 0:  # ProjectedCSType / GeographicType
+            if loc != 0:
+                continue
+            if key_id == 3072:  # ProjectedCSTypeGeoKey
                 return int(val)
-        return None
+            if key_id == 2048:  # GeographicTypeGeoKey
+                geographic = int(val)
+        return geographic
 
     # -- public surface --
 

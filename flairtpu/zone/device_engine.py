@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flairtpu.data.normalize import normalize_device
-from flairtpu.ops.fused import softmax_argmax
+from flairtpu.ops.fused import scatter_accumulate, softmax_argmax
 from flairtpu.zone.grid import TileGrid
 from flairtpu.zone.weights import patch_weights
 
@@ -46,11 +46,13 @@ def device_budget_bytes() -> int:
 
 
 def estimate_bytes(grid: TileGrid, n_channels: int, n_classes: int,
-                   method: str) -> int:
+                   method: str, output_type: str = "argmax") -> int:
     Hp = grid.height + 2 * grid.margin
     Wp = grid.width + 2 * grid.margin
     zone = Hp * Wp * n_channels
-    if method in ("average", "average_weights"):
+    if output_type == "class_prob":
+        acc = Hp * Wp * n_classes  # K uint8 probability planes (exact clipping)
+    elif method in ("average", "average_weights"):
         acc = Hp * Wp * (n_classes + 1) * 4
     else:
         acc = Hp * Wp * 6
@@ -132,6 +134,36 @@ class DeviceZoneRunner:
         (cls_plane, prob_plane), _ = jax.lax.scan(step, init, (origins, inner_pos))
         return cls_plane, prob_plane
 
+    def _run_exact_probs(self, zone, origins, inner_pos, out_hw, pad):
+        """exact-clipping class_prob: scatter margin-cropped uint8 softmax
+        probabilities into K planes. The reference forces exact clipping for
+        class_prob regardless of stitch method (compare.py:68), and the
+        streaming path's ExactClipStitcher (needs='cropped_probs') does the
+        same — this keeps the device path bit-identical to it."""
+        zone = jnp.pad(zone, (pad[0], pad[1], (0, 0)))
+        S, m = self.size, self.margin
+        H, W = out_hw
+        K = self.n_classes
+
+        def step(plane, batch):
+            org, ipos = batch
+            logits = self._forward(self._gather(zone, org))[:, m:S - m, m:S - m, :]
+            probs = jnp.round(
+                jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * 255
+            ).astype(jnp.uint8)
+
+            def put(plane, tile):
+                p, rc = tile
+                return jax.lax.dynamic_update_slice(
+                    plane, p, (rc[0], rc[1], 0)), None
+
+            plane, _ = jax.lax.scan(put, plane, (probs, ipos))
+            return plane, None
+
+        plane, _ = jax.lax.scan(step, jnp.zeros((H, W, K), jnp.uint8),
+                                (origins, inner_pos))
+        return plane
+
     def _run_accumulate(self, zone, origins, valid, weighted, out_hw, pad):
         """average / average_weights: accumulate probs + divisor on device."""
         zone = jnp.pad(zone, (pad[0], pad[1], (0, 0)))
@@ -146,28 +178,19 @@ class DeviceZoneRunner:
             org, val = batch
             probs = jax.nn.softmax(self._forward(self._gather(zone, org)), axis=-1)
             contrib = probs * (w[None, :, :, None] * val[:, None, None, None])
-
-            def put(carry, tile):
-                acc, div = carry
-                c, v, rc = tile
-                r0, c0 = rc[0], rc[1]
-                cur = jax.lax.dynamic_slice(acc, (r0, c0, 0), (S, S, K))
-                acc = jax.lax.dynamic_update_slice(acc, cur + c, (r0, c0, 0))
-                curd = jax.lax.dynamic_slice(div, (r0, c0), (S, S))
-                div = jax.lax.dynamic_update_slice(div, curd + w * v, (r0, c0))
-                return (acc, div), None
-
-            (acc, div), _ = jax.lax.scan(put, (acc, div), (contrib, val, org))
+            acc = scatter_accumulate(acc, contrib, org)
+            dcontrib = (w[None] * val[:, None, None])[..., None]
+            div = scatter_accumulate(div[..., None], dcontrib, org)[..., 0]
             return (acc, div), None
 
         init = (jnp.zeros((Hp, Wp, K), jnp.float32), jnp.zeros((Hp, Wp), jnp.float32))
         (acc, div), _ = jax.lax.scan(step, init, (origins, valid))
         mean = acc / jnp.maximum(div, 1e-8)[:, :, None]
-        if self.output_type == "argmax":
-            cls = jnp.argmax(mean, axis=-1).astype(jnp.uint8)
-            prob = jnp.round(jnp.max(mean, axis=-1) * 255).astype(jnp.uint8)
-            return cls, prob
-        return jnp.round(mean * 255).astype(jnp.uint8)
+        # class_prob never reaches this program (it is forced to exact
+        # clipping, reference compare.py:68) so argmax output is the only case
+        cls = jnp.argmax(mean, axis=-1).astype(jnp.uint8)
+        prob = jnp.round(jnp.max(mean, axis=-1) * 255).astype(jnp.uint8)
+        return cls, prob
 
     def _run_exact_sharded(self, mesh, zone, origins, inner_pos, out_hw):
         """Multi-chip exact-clipping: forward sharded over the 'data' axis.
@@ -217,6 +240,103 @@ class DeviceZoneRunner:
 
         return jax.jit(scatter)(cls_tiles, prob_tiles,
                                 inner_pos.reshape(-1, 2))
+
+    def _run_accumulate_sharded(self, mesh, zone, origins, valid, weighted,
+                                out_hw):
+        """Multi-chip average / average_weights: each device accumulates
+        probability + divisor planes over its share of tile batches, then a
+        psum over 'data' merges them (reference behavior to match:
+        compare.py:118-130 under the SURVEY §2.5 plan — shard the tile grid).
+        Scatter-adds commute, so the merged accumulator equals the sequential
+        one up to f32 summation order."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        S, m = self.size, self.margin
+        Hp, Wp = out_hw
+        K = self.n_classes
+        w = (jnp.asarray(patch_weights(S), jnp.float32) if weighted
+             else jnp.ones((S, S), jnp.float32))
+
+        def local(zone_l, origins_l, valid_l):
+            def step(carry, batch):
+                acc, div = carry
+                org, val = batch
+                probs = jax.nn.softmax(
+                    self._forward(self._gather(zone_l, org)), axis=-1)
+                contrib = probs * (w[None, :, :, None] * val[:, None, None, None])
+                acc = scatter_accumulate(acc, contrib, org)
+                dcontrib = (w[None] * val[:, None, None])[..., None]
+                div = scatter_accumulate(div[..., None], dcontrib, org)[..., 0]
+                return (acc, div), None
+
+            # the accumulators vary per device (each sums its own tiles);
+            # mark the replicated zero-init as 'data'-varying for shard_map
+            init = jax.lax.pcast(
+                (jnp.zeros((Hp, Wp, K), jnp.float32),
+                 jnp.zeros((Hp, Wp), jnp.float32)), ("data",), to="varying")
+            (acc, div), _ = jax.lax.scan(step, init, (origins_l, valid_l))
+            acc = jax.lax.psum(acc, "data")
+            div = jax.lax.psum(div, "data")
+            mean = acc / jnp.maximum(div, 1e-8)[:, :, None]
+            cls = jnp.argmax(mean, axis=-1).astype(jnp.uint8)
+            prob = jnp.round(jnp.max(mean, axis=-1) * 255).astype(jnp.uint8)
+            return cls, prob
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(), P("data"), P("data")), out_specs=P())
+        return fn(zone, origins, valid)
+
+    def _run_max_sharded(self, mesh, zone, origins, out_hw):
+        """Multi-chip max stitch: per-device best-confidence planes, merged by
+        a first-wins argmax over the device axis (matches the sequential
+        strictly-greater update order: earlier tiles live on earlier devices)."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        S = self.size
+        Hp, Wp = out_hw
+
+        def local(zone_l, origins_l):
+            def step(carry, org):
+                best_p, best_c = carry
+                cls, prob = softmax_argmax(self._forward(self._gather(zone_l, org)))
+                cls = cls.astype(jnp.uint8)
+
+                def put(carry, tile):
+                    bp, bc = carry
+                    c, p, rc = tile
+                    r0, c0 = rc[0], rc[1]
+                    cur_p = jax.lax.dynamic_slice(bp, (r0, c0), (S, S))
+                    cur_c = jax.lax.dynamic_slice(bc, (r0, c0), (S, S))
+                    better = p > cur_p
+                    bp = jax.lax.dynamic_update_slice(
+                        bp, jnp.where(better, p, cur_p), (r0, c0))
+                    bc = jax.lax.dynamic_update_slice(
+                        bc, jnp.where(better, c, cur_c), (r0, c0))
+                    return (bp, bc), None
+
+                (best_p, best_c), _ = jax.lax.scan(
+                    put, (best_p, best_c), (cls, prob, org))
+                return (best_p, best_c), None
+
+            init = jax.lax.pcast(
+                (jnp.zeros((Hp, Wp), jnp.float32),
+                 jnp.zeros((Hp, Wp), jnp.uint8)), ("data",), to="varying")
+            (best_p, best_c), _ = jax.lax.scan(step, init, origins_l)
+            return best_p[None], best_c[None]
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(), P("data")), out_specs=P("data"))
+        bp, bc = fn(zone, origins)  # (n_dev, Hp, Wp), device-sharded on axis 0
+
+        def merge(bp, bc):
+            idx = jnp.argmax(bp, axis=0)  # ties -> lowest device (first wins)
+            prob = jnp.take_along_axis(bp, idx[None], axis=0)[0]
+            cls = jnp.take_along_axis(bc, idx[None], axis=0)[0]
+            return cls, jnp.round(prob * 255).astype(jnp.uint8)
+
+        return jax.jit(merge)(bp, bc)
 
     def _run_exact_banded(self, zone_np: np.ndarray, tiles, pad_lo: int,
                           out_hw, n_bands: int):
@@ -355,8 +475,9 @@ class DeviceZoneRunner:
         S, m, B = self.size, self.margin, self.batch
         H, W = grid.height, grid.width
         n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        # all four stitch modes shard the tile grid over the 'data' axis;
+        # class_prob (forced exact clipping) currently runs single-device
         use_sharded = (mesh is not None and n_dev > 1
-                       and method == "exact-clipping"
                        and self.output_type == "argmax")
         # pad the zone so every full patch window is a valid static slice:
         # origins live in [0, H+2m-S] (grid clamps the last row/col), so m on
@@ -384,12 +505,43 @@ class DeviceZoneRunner:
         t0 = time.perf_counter()
         ob = origins.reshape(-1, B, 2)
         vb = valid.reshape(-1, B)
-        # the banded exact path ships slabs instead of the whole zone; the
-        # other modes gather from the full device-resident zone
-        zone_dev = (None if method == "exact-clipping"
-                    and self.output_type == "argmax" else jax.device_put(zone_np))
+        timings: dict[str, float] = {}
+        # banded/sharded exact paths ship the zone themselves; every other
+        # (monolithic) program gathers from one device-resident upload
+        n_bands = int(os.environ.get("FLAIRTPU_ZONE_BANDS", "1"))
+        banded = (method == "exact-clipping" and self.output_type == "argmax"
+                  and not use_sharded and n_bands > 1
+                  and len({t.row0 for t in tiles}) >= n_bands)
+        zone_dev = None
+        if not (banded or use_sharded):
+            th = time.perf_counter()
+            zone_dev = jax.block_until_ready(jax.device_put(zone_np))
+            timings["h2d_seconds"] = time.perf_counter() - th
 
-        if method == "exact-clipping" and self.output_type == "argmax":
+        def _timed_compute(fn, *args):
+            tc = time.perf_counter()
+            out = jax.block_until_ready(fn(*args))
+            timings["compute_seconds"] = time.perf_counter() - tc
+            td = time.perf_counter()
+            host = jax.tree_util.tree_map(np.asarray, out)
+            timings["d2h_seconds"] = time.perf_counter() - td
+            return host
+
+        if self.output_type == "class_prob":
+            # class_prob forces exact clipping for every method, matching the
+            # reference (compare.py:68) and the streaming ExactClipStitcher
+            s = S - 2 * m
+            inner = np.array([(t.irow0, t.icol0) for t in all_tiles], np.int32)
+            Ho, Wo = max(H, s), max(W, s)
+            inner[:, 0] = np.minimum(inner[:, 0], Ho - s)
+            inner[:, 1] = np.minimum(inner[:, 1], Wo - s)
+            fn = self._program(("exact-probs", Ho, Wo, S, m, self.batch, pad),
+                               lambda: partial(self._run_exact_probs,
+                                               out_hw=(Ho, Wo), pad=pad))
+            probs = _timed_compute(fn, zone_dev, jnp.asarray(ob),
+                                   jnp.asarray(inner.reshape(-1, B, 2)))[:H, :W]
+            result = {"probs": np.moveaxis(probs, -1, 0)}
+        elif method == "exact-clipping":
             s = S - 2 * m
             inner = np.array([(t.irow0, t.icol0) for t in all_tiles], np.int32)
             # clamp so the static s x s write stays in-plane (inner regions of
@@ -402,53 +554,61 @@ class DeviceZoneRunner:
             # dev TPU) that loses to the monolithic single-upload program
             # (measured 43 vs 63 patches/s), so it is opt-in for hardware with
             # proper DMA overlap
-            n_bands = int(os.environ.get("FLAIRTPU_ZONE_BANDS", "1"))
             if use_sharded:
                 zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_exact_sharded(
                     mesh, jax.device_put(zone_padded), jnp.asarray(ob),
                     jnp.asarray(inner.reshape(-1, B, 2)), out_hw=(Ho, Wo))
-            elif n_bands > 1 and len({t.row0 for t in tiles}) >= n_bands:
+                packed = np.asarray(jnp.stack([cls, prob]))
+            elif banded:
                 zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_exact_banded(
                     zone_padded, tiles, pad_lo, out_hw=(Ho, Wo), n_bands=n_bands)
+                packed = np.stack([cls, prob])
             else:
                 fn = self._program(("exact", Ho, Wo, S, m, self.batch, pad),
                                    lambda: partial(self._run_exact, out_hw=(Ho, Wo), pad=pad))
-                cls, prob = fn(jax.device_put(zone_np), jnp.asarray(ob),
-                               jnp.asarray(inner.reshape(-1, B, 2)))
-            packed = np.asarray(jnp.stack([cls, prob]))  # one D2H round trip
+                # device program packs both planes: one D2H round trip
+                pfn = lambda z, o, i: jnp.stack(fn(z, o, i))  # noqa: E731
+                packed = _timed_compute(pfn, zone_dev, jnp.asarray(ob),
+                                        jnp.asarray(inner.reshape(-1, B, 2)))
             result = {"cls": packed[0, :H, :W], "prob": packed[1, :H, :W]}
         elif method in ("average", "average_weights"):
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
-            fn = self._program((method, Hp, Wp, S, m, self.batch, pad),
-                               lambda: partial(self._run_accumulate,
-                                               weighted=(method == "average_weights"),
-                                               out_hw=(Hp, Wp), pad=pad))
-            out = fn(zone_dev, jnp.asarray(ob), jnp.asarray(vb))
-            if self.output_type == "argmax":
-                packed = np.asarray(jnp.stack(out))
-                result = {"cls": packed[0, pad_lo:pad_lo + H, pad_lo:pad_lo + W],
-                          "prob": packed[1, pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
+            if use_sharded:
+                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
+                cls, prob = self._run_accumulate_sharded(
+                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
+                    jnp.asarray(vb), weighted=(method == "average_weights"),
+                    out_hw=(Hp, Wp))
+                packed = np.asarray(jnp.stack([cls, prob]))
             else:
-                probs = np.asarray(out)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]
-                result = {"probs": np.moveaxis(probs, -1, 0)}
-        elif method == "max":
-            Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
-            fn = self._program(("max", Hp, Wp, S, m, self.batch, pad),
-                               lambda: partial(self._run_max, out_hw=(Hp, Wp), pad=pad))
-            cls, prob = fn(zone_dev, jnp.asarray(ob))
-            packed = np.asarray(jnp.stack([cls, prob]))
+                fn = self._program((method, Hp, Wp, S, m, self.batch, pad),
+                                   lambda: partial(self._run_accumulate,
+                                                   weighted=(method == "average_weights"),
+                                                   out_hw=(Hp, Wp), pad=pad))
+                pfn = lambda z, o, v: jnp.stack(fn(z, o, v))  # noqa: E731
+                packed = _timed_compute(pfn, zone_dev, jnp.asarray(ob),
+                                        jnp.asarray(vb))
             result = {"cls": packed[0, pad_lo:pad_lo + H, pad_lo:pad_lo + W],
                       "prob": packed[1, pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
-        else:  # exact-clipping + class_prob
+        elif method == "max":
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
-            fn = self._program(("probs", Hp, Wp, S, m, self.batch, pad),
-                               lambda: partial(self._run_accumulate, weighted=False,
-                                               out_hw=(Hp, Wp), pad=pad))
-            out = fn(zone_dev, jnp.asarray(ob), jnp.asarray(vb))
-            probs = np.asarray(out)[pad_lo:pad_lo + H, pad_lo:pad_lo + W]
-            result = {"probs": np.moveaxis(probs, -1, 0)}
+            if use_sharded:
+                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
+                cls, prob = self._run_max_sharded(
+                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
+                    out_hw=(Hp, Wp))
+                packed = np.asarray(jnp.stack([cls, prob]))
+            else:
+                fn = self._program(("max", Hp, Wp, S, m, self.batch, pad),
+                                   lambda: partial(self._run_max, out_hw=(Hp, Wp), pad=pad))
+                pfn = lambda z, o: jnp.stack(fn(z, o))  # noqa: E731
+                packed = _timed_compute(pfn, zone_dev, jnp.asarray(ob))
+            result = {"cls": packed[0, pad_lo:pad_lo + H, pad_lo:pad_lo + W],
+                      "prob": packed[1, pad_lo:pad_lo + H, pad_lo:pad_lo + W]}
+        else:
+            raise ValueError(f"unknown stitching method {method!r}")
         t_run = time.perf_counter() - t0
         return dict(result, tiles=n, seconds=t_run, read_seconds=t_read,
-                    patches_per_sec=n / t_run if t_run else 0.0)
+                    patches_per_sec=n / t_run if t_run else 0.0, **timings)

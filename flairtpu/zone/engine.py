@@ -96,7 +96,7 @@ class ZoneEngine:
         elif kind == "cropped_probs":
             def fn(img):
                 logits = self._forward(img)[:, m : s - m, m : s - m, :]
-                probs = jax.nn.softmax(logits, axis=-1)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 return jnp.round(probs * 255).astype(jnp.uint8).transpose(0, 3, 1, 2)
         elif kind == "full_probs":
             def fn(img):
@@ -297,7 +297,7 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
         use_device = (
             not os.environ.get("FLAIRTPU_STREAMING_ZONE")
             and estimate_bytes(grid, len(config["channels"]), config["n_classes"],
-                               method) <= device_budget_bytes())
+                               method, config["output_type"]) <= device_budget_bytes())
         print(f"    [x] zone path: {'device-resident' if use_device else 'streaming'}")
         print("    [ ] starting inference...\n")
         if use_device:
@@ -320,6 +320,10 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
                      "patches_per_sec": res["patches_per_sec"],
                      # cumulative-elapsed-per-patch, the reference's timing shape
                      "patch_times_ms": [total_ms * (i + 1) / n for i in range(n)]}
+            for k in ("read_seconds", "h2d_seconds", "compute_seconds",
+                      "d2h_seconds"):
+                if k in res:
+                    stats[k] = res[k]
         else:
             writer = _make_writer(config, reader, path_out)
             stitcher = make_stitcher(method, writer, grid, config)

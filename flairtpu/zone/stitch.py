@@ -214,9 +214,9 @@ STITCHERS = {
 def make_stitcher(method: str, writer: TiffWriter, grid: TileGrid, config: dict):
     if method not in STITCHERS:
         raise ValueError(f"unknown stitching method {method!r}; valid: {list(STITCHERS)}")
-    if config["output_type"] == "class_prob" and method != "max":
-        # class_prob short-circuits to exact-clipping in the reference
-        # (compare.py:68: `if stitch == "exact-clipping" or output_type == "class_prob"`)
-        if method == "exact-clipping":
-            return ExactClipStitcher(writer, grid, config)
+    if config["output_type"] == "class_prob":
+        # class_prob short-circuits to exact-clipping for EVERY method in the
+        # reference (compare.py:68:
+        # `if stitch == "exact-clipping" or output_type == "class_prob"`)
+        return ExactClipStitcher(writer, grid, config)
     return STITCHERS[method](writer, grid, config)

@@ -96,3 +96,27 @@ def test_float32_roundtrip_values(tmp_path, rng):
     write_array(p, arr, compress="deflate")
     with TiffReader(p) as r:
         np.testing.assert_array_equal(r.read(), arr)
+
+
+def test_crs_prefers_projected_over_geographic_geokey():
+    """GDAL-written projected rasters carry BOTH GeographicTypeGeoKey (2048,
+    the geographic base CRS) and ProjectedCSTypeGeoKey (3072); GeoKeys sort
+    ascending by ID so 2048 comes first — the projected CRS must still win
+    (e.g. Lambert-93 FLAIR zones: 4171 base + 2154 projected)."""
+    from flairtpu.io.tiff import TAG_GEOKEYDIR
+
+    class Stub:
+        tags = {TAG_GEOKEYDIR: [1, 1, 0, 4,
+                                1024, 0, 1, 1,      # GTModelType projected
+                                1025, 0, 1, 1,      # PixelIsArea
+                                2048, 0, 1, 4171,   # geographic base CRS
+                                3072, 0, 1, 2154]}  # projected CRS
+
+    assert TiffReader._parse_crs(Stub()) == 2154
+
+    class GeographicOnly:
+        tags = {TAG_GEOKEYDIR: [1, 1, 0, 2,
+                                1024, 0, 1, 2,
+                                2048, 0, 1, 4326]}
+
+    assert TiffReader._parse_crs(GeographicOnly()) == 4326

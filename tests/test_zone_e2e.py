@@ -166,6 +166,46 @@ def test_class_prob_output(zone_setup):
     assert probs.max() <= 255 and probs.min() >= 0
 
 
+def test_class_prob_device_and_streaming_agree(zone_setup, monkeypatch):
+    """class_prob is forced to exact clipping on BOTH zone paths (reference
+    compare.py:68); the device program must be bit-identical to the streaming
+    ExactClipStitcher."""
+    tmp, make_config, _, _ = zone_setup
+    outs = {}
+    for mode in ("device", "streaming"):
+        if mode == "streaming":
+            monkeypatch.setenv("FLAIRTPU_STREAMING_ZONE", "1")
+        else:
+            monkeypatch.delenv("FLAIRTPU_STREAMING_ZONE", raising=False)
+        cfg = cfgmod.validate_detect_config(make_config(
+            metrics=False, compare=False, output_type="class_prob",
+            output_path=str(tmp / f"out_cp_{mode}")))
+        _run(cfg)
+        with TiffReader(Path(cfg["output_path"]) / "zone_irc-ARGMAX-S.tif") as r:
+            outs[mode] = r.read()
+    np.testing.assert_array_equal(outs["device"], outs["streaming"])
+
+
+@pytest.mark.parametrize("method", ["average", "max"])
+def test_class_prob_forces_exact_clipping(zone_setup, method):
+    """Any stitch method + class_prob produces the exact-clipping output."""
+    from flairtpu.zone.engine import ZoneEngine, prepare_model, run_single, setup_out_path
+
+    tmp, make_config, _, _ = zone_setup
+    outs = {}
+    for m in (method, "exact-clipping"):
+        cfg = cfgmod.validate_detect_config(make_config(
+            metrics=False, compare=False, output_type="class_prob",
+            output_path=str(tmp / f"out_force_{method}_{m}")))
+        cfg = setup_out_path(cfg)
+        model, params, stats = prepare_model(cfg)
+        engine = ZoneEngine(cfg, model, params, stats)
+        path, _, _ = run_single(cfg, engine, SIZE - 2 * MARGIN, m)
+        with TiffReader(path) as r:
+            outs[m] = r.read()
+    np.testing.assert_array_equal(outs[method], outs["exact-clipping"])
+
+
 def test_compare_sweep_with_metrics(zone_setup):
     tmp, make_config, _, _ = zone_setup
     cfg = make_config(

@@ -1,6 +1,14 @@
-"""Multi-device zone inference on the virtual 8-CPU mesh: sharded == single."""
+"""Multi-device zone inference on the virtual 8-CPU mesh: sharded == single.
+
+All four stitching modes shard the tile grid over the 'data' mesh axis
+(reference behavior: src/zone_detect/compare.py:68-136 under SURVEY §2.5's
+"shard the tile grid across devices" plan). exact-clipping is bit-exact;
+the accumulate modes merge via psum, so f32 summation order may differ from
+the sequential scan — planes must agree to 1 quantization step.
+"""
 
 import numpy as np
+import pytest
 
 from flairtpu.io import TiffReader
 from flairtpu.io.tiff import Affine, write_array
@@ -10,7 +18,10 @@ from flairtpu.zone.device_engine import DeviceZoneRunner
 from flairtpu.zone.grid import slice_grid
 
 
-def test_sharded_zone_matches_single_device(tmp_path, rng):
+@pytest.fixture(scope="module")
+def zone_runner(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mz")
+    rng = np.random.default_rng(2022)
     mf = {"model_provider": "SegmentationModelsPytorch",
           "SegmentationModelsPytorch": {"encoder_decoder": "resnet18_unet"}}
     cfg = {"model_framework": mf, "n_classes": 4, "channels": [1, 2, 3, 4, 5],
@@ -22,12 +33,17 @@ def test_sharded_zone_matches_single_device(tmp_path, rng):
     params, stats = init_model(model, (1, 32, 32, 5))
 
     zone = rng.integers(0, 255, (5, 96, 112)).astype(np.uint8)
-    p = tmp_path / "mz.tif"
+    p = tmp / "mz.tif"
     write_array(p, zone, transform=Affine.from_origin(0, 100, 0.2, 0.2), crs=2154)
 
     runner = DeviceZoneRunner(cfg, model, params, stats)
     mesh = make_mesh()
     assert int(np.prod(mesh.devices.shape)) == 8
+    return p, runner, mesh
+
+
+def test_sharded_exact_matches_single_device(zone_runner):
+    p, runner, mesh = zone_runner
     with TiffReader(p) as r:
         grid = slice_grid(r.width, r.height, 32, 8, 16, r.transform, r.crs)
         single = runner.run(r, grid, "exact-clipping")
@@ -35,3 +51,19 @@ def test_sharded_zone_matches_single_device(tmp_path, rng):
     np.testing.assert_array_equal(single["cls"], sharded["cls"])
     np.testing.assert_array_equal(single["prob"], sharded["prob"])
     assert sharded["tiles"] == len(grid)
+
+
+@pytest.mark.parametrize("method", ["average", "average_weights", "max"])
+def test_sharded_overlap_modes_match_single_device(zone_runner, method):
+    p, runner, mesh = zone_runner
+    with TiffReader(p) as r:
+        # stride 16 < 32 - 2*8: genuinely overlapping tiles
+        grid = slice_grid(r.width, r.height, 32, 8, 16, r.transform, r.crs)
+        single = runner.run(r, grid, method)
+        sharded = runner.run(r, grid, method, mesh=mesh)
+    assert sharded["tiles"] == len(grid)
+    # uint8 confidence plane: psum reassociates f32 adds -> <=1 step off
+    prob_diff = np.abs(single["prob"].astype(int) - sharded["prob"].astype(int))
+    assert prob_diff.max() <= 1, f"{method}: prob diff {prob_diff.max()}"
+    cls_agree = (single["cls"] == sharded["cls"]).mean()
+    assert cls_agree > 0.999, f"{method}: class agreement {cls_agree:.5f}"
