@@ -146,3 +146,32 @@ def test_resnet50_bottleneck_shapes():
     out = fm.apply({"params": params, "batch_stats": stats},
                    jnp.zeros((1, 64, 64, 3)), train=False)
     assert out.shape == (1, 64, 64, 5)
+
+
+def test_flair_inc_shaped_checkpoint_512(tmp_path, rng):
+    """Accuracy-anchor fixture (BASELINE.md): a full-size state dict shaped
+    exactly like the published FLAIR-INC_rgb_15cl_resnet34-unet_weights.pth
+    (configs/flair-1-config-detect.yaml:13 — 3-channel RGB, 15 classes, smp
+    key set) loads through the production zone-detect path
+    (train/checkpoints.load_pretrained, strict) and reproduces torch logits
+    at the production 512^2 patch size. The day real weights appear, this
+    path is already proven."""
+    from flairtpu.train.checkpoints import load_pretrained
+
+    tm = _torch_model(in_ch=3, classes=15, seed=42)
+    pth = tmp_path / "FLAIR-INC_rgb_15cl_resnet34-unet_weights.pth"
+    torch.save(tm.state_dict(), pth)
+
+    fm = FlairSegmentationModel(encoder_name="resnet34", classes=15,
+                                dtype=jnp.float32)
+    params, stats = init_model(fm, (1, 512, 512, 3))
+    variables = load_pretrained(str(pth), {"params": params,
+                                           "batch_stats": stats}, strict=True)
+
+    x = rng.standard_normal((1, 512, 512, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert got.shape == want.shape == (1, 15, 512, 512)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
