@@ -50,8 +50,9 @@ def normalize_keys(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 _LAYER_RE = re.compile(r"^encoder\.layer(\d+)\.(\d+)\.(.+)$")
-_BLOCK_RE = re.compile(r"^decoder\.blocks\.(\d+)\.(conv[12])\.([01])\.(.+)$")
+_BLOCK_RE = re.compile(r"^decoder\.blocks\.(x_\d+_\d+|\d+)\.(conv[12])\.([01])\.(.+)$")
 _MLP_RE = re.compile(r"^enc\.enc_mlp\.(\d+)\.(weight|bias)$")
+_DEEPLAB_RE = re.compile(r"^decoder\.(aspp|block1|block2)\.(.+)$")
 
 _BN_PARAM = {"weight": ("params", "scale"), "bias": ("params", "bias")}
 _BN_STATS = {"running_mean": ("batch_stats", "mean"), "running_var": ("batch_stats", "var")}
@@ -128,12 +129,67 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
         m = _BLOCK_RE.match(key)
         if m:
             i, convname, sub, leaf = m.groups()
-            mod = ("decoder", f"block{i}")
+            # unet blocks are indexed ('0'.. -> block0..); unet++ nodes keep
+            # smp's x_{depth}_{layer} names verbatim
+            mod = ("decoder", i if i.startswith("x_") else f"block{i}")
             if sub == "0":
                 put("params", mod + (convname, "kernel" if leaf == "weight" else leaf),
                     _convert_tensor(leaf, arr, "conv"))
             else:
                 put_bn(mod + (f"bn{convname[-1]}",), leaf, arr)
+            continue
+        # --- DeepLabV3+ decoder (smp decoders/deeplabv3/decoder.py) ---
+        m = _DEEPLAB_RE.match(key)
+        if m:
+            top, rest = m.group(1), m.group(2).split(".")
+            leaf = rest[-1]
+
+            def put_convbn(mod, sub):
+                # sub: ('0', leaf)=conv / ('1', leaf)=bn for _ConvBnRelu-shaped
+                if sub[0] == "0":
+                    put("params", mod + ("conv", "kernel"),
+                        _convert_tensor("weight", arr, "conv"))
+                else:
+                    put_bn(mod + ("bn",), sub[1], arr)
+
+            def put_sepbn(mod, sub):
+                # SeparableConv2d is Sequential(depthwise, pointwise); module
+                # layout: sep/{dw,pw} + bn
+                if sub[0] == "0":  # separable conv
+                    which = "dw" if sub[1] == "0" else "pw"
+                    put("params", mod + ("sep", which,
+                                         "kernel" if sub[2] == "weight" else sub[2]),
+                        _convert_tensor(sub[2], arr, "conv"))
+                else:  # bn
+                    put_bn(mod + ("bn",), sub[1], arr)
+
+            if top == "block1":
+                put_convbn(("decoder", "block1"), rest)
+            elif top == "block2":
+                put_sepbn(("decoder", "block2"), rest)
+            elif rest[0] == "0" and rest[1] == "convs":
+                i = int(rest[2])
+                if i == 0:  # 1x1 conv branch
+                    put_convbn(("decoder", "aspp_conv"), rest[3:])
+                elif i in (1, 2, 3):  # separable atrous branches
+                    put_sepbn(("decoder", f"aspp_sep{i - 1}"), rest[3:])
+                else:  # pooling branch: Sequential(pool, conv, bn, relu)
+                    if rest[3] == "1":
+                        put("params", ("decoder", "aspp_pool", "conv", "kernel"),
+                            _convert_tensor("weight", arr, "conv"))
+                    else:
+                        put_bn(("decoder", "aspp_pool", "bn"), leaf, arr)
+            elif rest[0] == "0" and rest[1] == "project":
+                put_convbn(("decoder", "aspp_project"), rest[2:])
+            elif rest[0] == "1":  # aspp.1 = SeparableConv2d (out block)
+                which = "dw" if rest[1] == "0" else "pw"
+                put("params", ("decoder", "aspp_out", "sep", which,
+                               "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            elif rest[0] == "2":  # aspp.2 = BatchNorm
+                put_bn(("decoder", "aspp_out", "bn"), leaf, arr)
+            else:
+                raise KeyError(f"unrecognized deeplab decoder key {key!r}")
             continue
         # --- head ---
         if key.startswith("segmentation_head.0."):

@@ -32,31 +32,80 @@ from flairtpu.models.unet import SegmentationHead, UnetDecoder
 
 
 class FlairSegmentationModel(nn.Module):
-    """Encoder/decoder/head with optional metadata fusion (train+infer)."""
+    """Encoder/decoder/head with optional metadata fusion (train+infer).
+
+    arch 'unet' mirrors smp Unet (full-stride encoder, skip decoder, 3x3
+    head); arch 'deeplabv3plus' mirrors smp DeepLabV3Plus (output-stride-16
+    dilated encoder, ASPP decoder, 1x1 head + 4x align-corners upsample).
+    """
 
     encoder_name: str = "resnet34"
+    arch: str = "unet"
     classes: int = 13
     use_metadata: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = ResNetEncoder(name_spec=self.encoder_name, dtype=self.dtype)
-        self.decoder = UnetDecoder(dtype=self.dtype)
-        self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
+        if self.arch == "unet":
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         dtype=self.dtype)
+            self.decoder = UnetDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
+        elif self.arch == "unetplusplus":
+            from flairtpu.models.unet import UnetPlusPlusDecoder
+
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         dtype=self.dtype)
+            self.decoder = UnetPlusPlusDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
+        elif self.arch == "deeplabv3plus":
+            from flairtpu.models.deeplab import DeepLabV3PlusDecoder
+
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         output_stride=16, dtype=self.dtype)
+            self.decoder = DeepLabV3PlusDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, kernel=1,
+                                                      dtype=self.dtype)
+        else:
+            raise NotImplementedError(
+                f"architecture {self.arch!r} not ported "
+                "(supported: unet, deeplabv3plus)")
         if self.use_metadata:
             self.metadata_mlp = MetadataMLP(dtype=self.dtype)
 
     def __call__(self, x: jax.Array, mtd: jax.Array | None = None,
-                 train: bool = False) -> jax.Array:
-        """x: (B, H, W, C) in NHWC. Returns fp32 logits (B, H, W, classes)."""
+                 train: bool = False,
+                 inner_margin: int | None = None) -> jax.Array:
+        """x: (B, H, W, C) in NHWC. Returns fp32 logits (B, H, W, classes).
+
+        ``inner_margin`` (arch 'unet' only): decode just the margin-cropped
+        interior via the plan_inner_crops fast path — returns
+        (B, H-2m, W-2m, classes) logits BIT-IDENTICAL to cropping the full
+        output (the zone exact-clipping hot path; ~3.5x less decoder work at
+        the FLAIR 512/128 geometry).
+        """
         feats = self.encoder(x.astype(self.dtype), train=train)
         if self.use_metadata:
             if mtd is None:
                 raise ValueError("use_metadata=True but no metadata passed")
             emb = self.metadata_mlp(mtd, train=train)
             feats = feats[:-1] + [fuse_metadata(feats[-1], emb)]
+        if inner_margin is not None:
+            if self.arch != "unet":
+                raise NotImplementedError("inner_margin requires arch 'unet'")
+            m = inner_margin
+            S = x.shape[1]
+            y, off = self.decoder(feats, train=train, inner_margin=m)
+            logits = self.segmentation_head(y)
+            logits = logits[:, m - off : S - m - off, m - off : S - m - off, :]
+            return logits.astype(jnp.float32)
         y = self.decoder(feats, train=train)
         logits = self.segmentation_head(y)
+        if self.arch == "deeplabv3plus":
+            from flairtpu.models.deeplab import upsample_align_corners
+
+            B, H, W, _ = logits.shape
+            logits = upsample_align_corners(logits, (4 * H, 4 * W))
         return logits.astype(jnp.float32)
 
 
@@ -68,14 +117,16 @@ def create_model(config: dict, dtype: Any = jnp.float32) -> FlairSegmentationMod
 
     if provider == "SegmentationModelsPytorch":
         encoder, arch = mf["SegmentationModelsPytorch"]["encoder_decoder"].split("_")
-        if arch != "unet":
+        if arch not in ("unet", "unetplusplus", "deeplabv3plus"):
             raise NotImplementedError(
-                f"architecture {arch!r} not yet ported (supported: unet)")
+                f"architecture {arch!r} not yet ported "
+                "(supported: unet, unetplusplus, deeplabv3plus)")
         if encoder not in RESNET_SPECS:
             raise NotImplementedError(
                 f"encoder {encoder!r} not yet ported (supported: {sorted(RESNET_SPECS)})")
         return FlairSegmentationModel(
             encoder_name=encoder,
+            arch=arch,
             classes=int(n_classes),
             use_metadata=bool(config.get("use_metadata", False)),
             dtype=dtype,

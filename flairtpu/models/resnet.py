@@ -44,14 +44,17 @@ def batch_norm(dtype, name: str | None = None):
 
 
 def conv(features: int, kernel: int, stride: int = 1, padding: int | None = None,
-         use_bias: bool = False, dtype=jnp.float32, name: str | None = None):
+         use_bias: bool = False, dtype=jnp.float32, name: str | None = None,
+         dilation: int = 1, groups: int = 1):
     if padding is None:
-        padding = kernel // 2
+        padding = (kernel // 2) * dilation
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
         strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
@@ -77,15 +80,18 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dilation: int = 1  # smp make_dilated: stride->1, 3x3 convs dilated
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        y = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        y = conv(self.features, 3, self.stride, dilation=self.dilation,
+                 dtype=self.dtype, name="conv1")(x)
         y = batch_norm(self.dtype, "bn1")(y, use_running_average=not train)
         y = nn.relu(y)
-        y = conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.features, 3, 1, dilation=self.dilation,
+                 dtype=self.dtype, name="conv2")(y)
         y = batch_norm(self.dtype, "bn2")(y, use_running_average=not train)
         if self.downsample:
             identity = conv(self.features, 1, self.stride, padding=0,
@@ -101,6 +107,7 @@ class Bottleneck(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dilation: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -109,7 +116,8 @@ class Bottleneck(nn.Module):
         y = conv(self.features, 1, 1, padding=0, dtype=self.dtype, name="conv1")(x)
         y = batch_norm(self.dtype, "bn1")(y, use_running_average=not train)
         y = nn.relu(y)
-        y = conv(self.features, 3, self.stride, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.features, 3, self.stride, dilation=self.dilation,
+                 dtype=self.dtype, name="conv2")(y)
         y = batch_norm(self.dtype, "bn2")(y, use_running_average=not train)
         y = nn.relu(y)
         y = conv(self.features * 4, 1, 1, padding=0, dtype=self.dtype, name="conv3")(y)
@@ -131,6 +139,10 @@ class ResNetEncoder(nn.Module):
     """
 
     name_spec: str = "resnet34"
+    # smp get_encoder(output_stride=...): 16 dilates layer4 (rate 2), 8 dilates
+    # layer3 (rate 2) + layer4 (rate 4); strides in dilated stages become 1
+    # (encoders/_base.py make_dilated + _utils.replace_strides_with_dilation)
+    output_stride: int = 32
     dtype: Any = jnp.float32
 
     @property
@@ -154,19 +166,23 @@ class ResNetEncoder(nn.Module):
 
         y = max_pool_3x3_s2(y)
         in_ch = 64
+        dilations = {32: {}, 16: {3: 2}, 8: {2: 2, 3: 4}}[self.output_stride]
         for stage, n_units in enumerate(units):
             width = 64 * (2 ** stage)
-            stride = 1 if stage == 0 else 2
+            dilation = dilations.get(stage, 1)
+            stride = 1 if stage == 0 or dilation > 1 else 2
             for u in range(n_units):
                 first = u == 0
-                needs_ds = first and (stride != 1 or in_ch != width * expansion)
+                needs_ds = first and (in_ch != width * expansion or
+                                      (stage != 0 and dilation == 1))
                 y = block(
                     features=width,
                     stride=stride if first else 1,
                     downsample=needs_ds,
+                    dilation=dilation,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{u}",
                 )(y, train)
                 in_ch = width * expansion
-            features.append(y)  # strides 4, 8, 16, 32
+            features.append(y)  # strides 4, 8, ... (capped by output_stride)
         return features

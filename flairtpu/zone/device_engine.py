@@ -95,6 +95,17 @@ class DeviceZoneRunner:
         return self.model.apply(
             {"params": self.params, "batch_stats": self.batch_stats}, x, train=False)
 
+    def _forward_inner(self, tiles_u8):
+        """Margin-cropped logits; ResNet-U-Nets decode only the interior
+        (plan_inner_crops — bit-identical to full-decode + crop)."""
+        m, S = self.margin, self.size
+        if m > 0 and getattr(self.model, "arch", None) == "unet":
+            x = normalize_device(tiles_u8, src_dtype=np.uint8, **self.norm)
+            return self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats}, x,
+                train=False, inner_margin=m)
+        return self._forward(tiles_u8)[:, m:S - m, m:S - m, :]
+
     def _gather(self, zone, origins):
         S = self.size
         C = zone.shape[-1]
@@ -114,7 +125,7 @@ class DeviceZoneRunner:
         def step(carry, batch):
             cls_plane, prob_plane = carry
             org, ipos = batch
-            logits = self._forward(self._gather(zone, org))[:, m:S - m, m:S - m, :]
+            logits = self._forward_inner(self._gather(zone, org))
             cls, prob = softmax_argmax(logits)
             cls = cls.astype(jnp.uint8)
             prob_u8 = jnp.round(prob * 255).astype(jnp.uint8)
@@ -147,7 +158,7 @@ class DeviceZoneRunner:
 
         def step(plane, batch):
             org, ipos = batch
-            logits = self._forward(self._gather(zone, org))[:, m:S - m, m:S - m, :]
+            logits = self._forward_inner(self._gather(zone, org))
             probs = jnp.round(
                 jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * 255
             ).astype(jnp.uint8)
@@ -210,8 +221,7 @@ class DeviceZoneRunner:
 
         def local_forward(zone_l, origins_l):  # origins_l (n_local, B, 2)
             def step(_, org):
-                logits = self._forward(self._gather(zone_l, org))[:, m:S - m,
-                                                                  m:S - m, :]
+                logits = self._forward_inner(self._gather(zone_l, org))
                 cls, prob = softmax_argmax(logits)
                 return None, (cls.astype(jnp.uint8),
                               jnp.round(prob * 255).astype(jnp.uint8))
@@ -372,8 +382,7 @@ class DeviceZoneRunner:
             def step(carry, batch):
                 cls_plane, prob_plane = carry
                 org, ipos = batch
-                logits = self._forward(self._gather(slab, org))[:, m:S - m,
-                                                                m:S - m, :]
+                logits = self._forward_inner(self._gather(slab, org))
                 cls, prob = softmax_argmax(logits)
                 cls = cls.astype(jnp.uint8)
                 prob_u8 = jnp.round(prob * 255).astype(jnp.uint8)

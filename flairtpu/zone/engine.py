@@ -83,6 +83,17 @@ class ZoneEngine:
         return self.model.apply(
             {"params": self.params, "batch_stats": self.batch_stats}, x, train=False)
 
+    def _forward_inner(self, img_u8):
+        """Margin-cropped logits; ResNet-U-Nets use the inner-decode fast path
+        (bit-identical, ~3.5x less decoder work at 512/128 geometry)."""
+        m, s = self.margin, self.size
+        if m > 0 and getattr(self.model, "arch", None) == "unet":
+            x = normalize_device(img_u8, src_dtype=np.uint8, **self.norm)
+            return self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats}, x,
+                train=False, inner_margin=m)
+        return self._forward(img_u8)[:, m : s - m, m : s - m, :]
+
     def device_fn(self, kind: str):
         if kind in self._fns:
             return self._fns[kind]
@@ -90,12 +101,12 @@ class ZoneEngine:
 
         if kind == "cropped_argmax":
             def fn(img):
-                logits = self._forward(img)[:, m : s - m, m : s - m, :]
+                logits = self._forward_inner(img)
                 cls, prob = softmax_argmax(logits)
                 return cls.astype(jnp.uint8), jnp.round(prob * 255).astype(jnp.uint8)
         elif kind == "cropped_probs":
             def fn(img):
-                logits = self._forward(img)[:, m : s - m, m : s - m, :]
+                logits = self._forward_inner(img)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 return jnp.round(probs * 255).astype(jnp.uint8).transpose(0, 3, 1, 2)
         elif kind == "full_probs":

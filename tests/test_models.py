@@ -175,3 +175,21 @@ def test_flair_inc_shaped_checkpoint_512(tmp_path, rng):
     got = np.moveaxis(np.asarray(got), -1, 1)
     assert got.shape == want.shape == (1, 15, 512, 512)
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("size,margin", [(64, 16), (64, 8), (32, 8), (64, 1)])
+def test_inner_margin_decode_bit_identical(size, margin, rng):
+    """The inner-crop decode fast path (plan_inner_crops) must be BIT-identical
+    to full decoding + crop — it is the zone exact-clipping hot path."""
+    from flairtpu.models.factory import init_model
+
+    fm = FlairSegmentationModel(encoder_name="resnet34", classes=5,
+                                dtype=jnp.float32)
+    params, stats = init_model(fm, (1, size, size, 5), seed=11)
+    x = jnp.asarray(rng.standard_normal((2, size, size, 5), dtype=np.float32))
+    variables = {"params": params, "batch_stats": stats}
+    full = fm.apply(variables, x, train=False)
+    want = np.asarray(full[:, margin:size - margin, margin:size - margin, :])
+    got = np.asarray(fm.apply(variables, x, train=False, inner_margin=margin))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)

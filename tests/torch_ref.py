@@ -130,3 +130,176 @@ class MetadataMLP(nn.Module):
 
     def forward(self, x):
         return self.enc_mlp(x)
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 DeepLabV3Plus mirror (decoders/deeplabv3/decoder.py key names)
+# ---------------------------------------------------------------------------
+
+class SeparableConv2d(nn.Sequential):
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 dilation=1, bias=True):
+        depthwise = nn.Conv2d(in_ch, in_ch, kernel_size, stride, padding,
+                              dilation, groups=in_ch, bias=False)
+        pointwise = nn.Conv2d(in_ch, out_ch, 1, bias=bias)
+        super().__init__(depthwise, pointwise)
+
+
+class ASPPSeparableConv(nn.Sequential):
+    def __init__(self, in_ch, out_ch, dilation):
+        super().__init__(
+            SeparableConv2d(in_ch, out_ch, 3, padding=dilation,
+                            dilation=dilation, bias=False),
+            nn.BatchNorm2d(out_ch), nn.ReLU())
+
+
+class ASPPPooling(nn.Sequential):
+    def __init__(self, in_ch, out_ch):
+        super().__init__(nn.AdaptiveAvgPool2d(1),
+                         nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                         nn.BatchNorm2d(out_ch), nn.ReLU())
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        for mod in self:
+            x = mod(x)
+        return F.interpolate(x, size=size, mode="bilinear", align_corners=False)
+
+
+class ASPP(nn.Module):
+    def __init__(self, in_ch, out_ch, atrous_rates=(12, 24, 36)):
+        super().__init__()
+        mods = [nn.Sequential(nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                              nn.BatchNorm2d(out_ch), nn.ReLU())]
+        for rate in atrous_rates:
+            mods.append(ASPPSeparableConv(in_ch, out_ch, rate))
+        mods.append(ASPPPooling(in_ch, out_ch))
+        self.convs = nn.ModuleList(mods)
+        self.project = nn.Sequential(
+            nn.Conv2d(5 * out_ch, out_ch, 1, bias=False),
+            nn.BatchNorm2d(out_ch), nn.ReLU(), nn.Dropout(0.5))
+
+    def forward(self, x):
+        return self.project(torch.cat([conv(x) for conv in self.convs], dim=1))
+
+
+class DeepLabV3PlusDecoder(nn.Module):
+    def __init__(self, encoder_channels=(64, 64, 128, 256, 512),
+                 out_channels=256):
+        super().__init__()
+        self.aspp = nn.Sequential(
+            ASPP(encoder_channels[-1], out_channels),
+            SeparableConv2d(out_channels, out_channels, 3, padding=1, bias=False),
+            nn.BatchNorm2d(out_channels), nn.ReLU())
+        self.up = nn.UpsamplingBilinear2d(scale_factor=4)
+        self.block1 = nn.Sequential(
+            nn.Conv2d(encoder_channels[-4], 48, 1, bias=False),
+            nn.BatchNorm2d(48), nn.ReLU())
+        self.block2 = nn.Sequential(
+            SeparableConv2d(48 + out_channels, out_channels, 3, padding=1,
+                            bias=False),
+            nn.BatchNorm2d(out_channels), nn.ReLU())
+
+    def forward(self, *features):
+        aspp = self.up(self.aspp(features[-1]))
+        high = self.block1(features[-4])
+        return self.block2(torch.cat([aspp, high], dim=1))
+
+
+def _dilate_stage(stage: nn.Module, rate: int) -> None:
+    """smp encoders/_utils.replace_strides_with_dilation."""
+    for mod in stage.modules():
+        if isinstance(mod, nn.Conv2d):
+            mod.stride = (1, 1)
+            mod.dilation = (rate, rate)
+            k = mod.kernel_size[0]
+            mod.padding = ((k // 2) * rate,) * 2
+
+
+class ResNet34DeepLabV3Plus(nn.Module):
+    """smp.create_model('deeplabv3plus', 'resnet34', ...) mirror (os=16)."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels)
+        _dilate_stage(self.encoder.layer4, 2)
+        self.decoder = DeepLabV3PlusDecoder()
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(256, classes, 1),
+            nn.UpsamplingBilinear2d(scale_factor=4))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 UnetPlusPlus mirror (decoders/unetplusplus/decoder.py key names)
+# ---------------------------------------------------------------------------
+
+class UnetPlusPlusDecoder(nn.Module):
+    def __init__(self, encoder_channels=(64, 64, 128, 256, 512),
+                 decoder_channels=(256, 128, 64, 32, 16)):
+        super().__init__()
+        enc = list(encoder_channels)[::-1]       # (512, 256, 128, 64, 64)
+        head_channels = enc[0]
+        self.in_channels = [head_channels] + list(decoder_channels[:-1])
+        self.skip_channels = enc[1:] + [0]
+        self.out_channels = list(decoder_channels)
+        blocks = {}
+        for layer_idx in range(len(self.in_channels) - 1):
+            for depth_idx in range(layer_idx + 1):
+                if depth_idx == 0:
+                    in_ch = self.in_channels[layer_idx]
+                    skip_ch = self.skip_channels[layer_idx] * (layer_idx + 1)
+                    out_ch = self.out_channels[layer_idx]
+                else:
+                    out_ch = self.skip_channels[layer_idx]
+                    skip_ch = self.skip_channels[layer_idx] * (
+                        layer_idx + 1 - depth_idx)
+                    in_ch = self.skip_channels[layer_idx - 1]
+                blocks[f"x_{depth_idx}_{layer_idx}"] = DecoderBlock(
+                    in_ch, skip_ch, out_ch)
+        blocks[f"x_{0}_{len(self.in_channels) - 1}"] = DecoderBlock(
+            self.in_channels[-1], 0, self.out_channels[-1])
+        self.blocks = nn.ModuleDict(blocks)
+        self.depth = len(self.in_channels) - 1
+
+    def forward(self, *features):
+        features = list(features[1:])[::-1]
+        dense_x = {}
+        for layer_idx in range(len(self.in_channels) - 1):
+            for depth_idx in range(self.depth - layer_idx):
+                if layer_idx == 0:
+                    output = self.blocks[f"x_{depth_idx}_{depth_idx}"](
+                        features[depth_idx], features[depth_idx + 1])
+                    dense_x[f"x_{depth_idx}_{depth_idx}"] = output
+                else:
+                    dense_l_i = depth_idx + layer_idx
+                    cat_features = torch.cat(
+                        [dense_x[f"x_{idx}_{dense_l_i}"]
+                         for idx in range(depth_idx + 1, dense_l_i + 1)], dim=1)
+                    cat_features = torch.cat(
+                        [cat_features, features[dense_l_i + 1]], dim=1)
+                    dense_x[f"x_{depth_idx}_{dense_l_i}"] = self.blocks[
+                        f"x_{depth_idx}_{dense_l_i}"](
+                            dense_x[f"x_{depth_idx}_{dense_l_i - 1}"],
+                            cat_features)
+        dense_x[f"x_{0}_{self.depth}"] = self.blocks[f"x_{0}_{self.depth}"](
+            dense_x[f"x_{0}_{self.depth - 1}"])
+        return dense_x[f"x_{0}_{self.depth}"]
+
+
+class ResNet34UnetPlusPlus(nn.Module):
+    """smp.create_model('unetplusplus', 'resnet34', ...) mirror."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels)
+        self.decoder = UnetPlusPlusDecoder()
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(16, classes, 3, padding=1))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
