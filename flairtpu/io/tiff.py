@@ -155,7 +155,8 @@ def _np_dtype(bits: int, fmt: int, byteorder: str) -> np.dtype:
 class TiffReader:
     """Windowed reader for (Big)TIFF rasters. Thread-safe."""
 
-    def __init__(self, path: str | os.PathLike, cache_blocks: int = 64):
+    def __init__(self, path: str | os.PathLike, cache_blocks: int = 64,
+                 ifd_index: int = 0):
         self.path = str(path)
         self._fh = open(self.path, "rb")
         try:
@@ -166,6 +167,8 @@ class TiffReader:
         self._cache: OrderedDict[tuple[int, int], np.ndarray] = OrderedDict()
         self._cache_cap = cache_blocks
         self.closed = False
+        self._ifd_index = int(ifd_index)  # 0 = full res; 1.. = overview IFDs
+        self.overview_offsets: list[int] = []
         self._parse()
 
     # -- parsing --
@@ -192,7 +195,19 @@ class TiffReader:
         else:
             raise ValueError(f"Unknown TIFF magic {magic} in {self.path}")
 
-        self.tags = self._read_ifd(ifd_off)
+        # walk the IFD chain: IFD0 is full resolution, subsequent IFDs are
+        # COG-style reduced-resolution overviews (NewSubfileType=1)
+        chain = [ifd_off]
+        nxt = self._next_ifd_offset(ifd_off)
+        while nxt and len(chain) < 64:
+            chain.append(nxt)
+            nxt = self._next_ifd_offset(nxt)
+        self.overview_offsets = chain[1:]
+        if self._ifd_index >= len(chain):
+            raise ValueError(
+                f"ifd_index {self._ifd_index} out of range: {self.path} has "
+                f"{len(chain)} IFD(s)")
+        self.tags = self._read_ifd(chain[self._ifd_index])
         t = self.tags
         self.width = int(t[TAG_WIDTH][0])
         self.height = int(t[TAG_LENGTH][0])
@@ -240,6 +255,16 @@ class TiffReader:
                 self.nodata = float(str(t[TAG_GDAL_NODATA]).strip("\x00 "))
             except ValueError:
                 pass
+
+    def _next_ifd_offset(self, off: int) -> int:
+        mm, bo = self._mm, self._bo
+        if self.bigtiff:
+            (n,) = struct.unpack(bo + "Q", mm[off : off + 8])
+            pos = off + 8 + int(n) * 20
+            return struct.unpack(bo + "Q", mm[pos : pos + 8])[0]
+        (n,) = struct.unpack(bo + "H", mm[off : off + 2])
+        pos = off + 2 + int(n) * 12
+        return struct.unpack(bo + "I", mm[pos : pos + 4])[0]
 
     def _read_ifd(self, off: int) -> dict:
         mm, bo = self._mm, self._bo
@@ -510,7 +535,8 @@ class TiffWriter:
                  nodata=None, compress: str | None = "deflate", tiled: bool = True,
                  blockxsize: int = 512, blockysize: int = 512,
                  bigtiff: bool | str = "auto", num_threads: int = 8,
-                 scratch_dir: str | None = None):
+                 scratch_dir: str | None = None,
+                 overviews: list[int] | None = None):
         self.path = str(path)
         self.width, self.height, self.count = int(width), int(height), int(count)
         self.dtype = np.dtype(dtype)
@@ -531,6 +557,9 @@ class TiffWriter:
         else:
             self.bigtiff = bool(bigtiff) and str(bigtiff).upper() != "NO"
         self.num_threads = num_threads
+        # COG-style reduced-resolution overview IFDs (e.g. [2, 4, 8]); nearest
+        # resampling (class/confidence rasters must not blend label values)
+        self.overviews = sorted(overviews or [])
         self.closed = False
 
         sdir = scratch_dir or os.path.dirname(os.path.abspath(self.path)) or "."
@@ -630,13 +659,14 @@ class TiffWriter:
     def __exit__(self, *exc):
         self.close()
 
-    def _block_bytes(self, by: int, bx: int) -> bytes:
-        r0, c0 = by * self.block_h, bx * self.block_w
-        r1, c1 = min(r0 + self.block_h, self.height), min(c0 + self.block_w, self.width)
-        sub = np.asarray(self._buf[:, r0:r1, c0:c1])  # (count, h, w)
+    def _block_bytes(self, arr: np.ndarray, by: int, bx: int,
+                     bh: int, bw: int) -> bytes:
+        r0, c0 = by * bh, bx * bw
+        r1, c1 = min(r0 + bh, arr.shape[1]), min(c0 + bw, arr.shape[2])
+        sub = np.asarray(arr[:, r0:r1, c0:c1])  # (count, h, w)
         chunky = np.ascontiguousarray(np.moveaxis(sub, 0, -1))  # (h, w, count)
-        if self.tiled and (chunky.shape[0] < self.block_h or chunky.shape[1] < self.block_w):
-            pad = np.zeros((self.block_h, self.block_w, self.count), dtype=self.dtype)
+        if self.tiled and (chunky.shape[0] < bh or chunky.shape[1] < bw):
+            pad = np.zeros((bh, bw, self.count), dtype=self.dtype)
             pad[: chunky.shape[0], : chunky.shape[1]] = chunky
             chunky = pad
         if self.compression in (5, 8) and self.dtype.itemsize == 1:
@@ -647,39 +677,55 @@ class TiffWriter:
         return enc(raw)
 
     def _finalize(self):
-        bw, bh = self.block_w, self.block_h
-        bx_n, by_n = _ceildiv(self.width, bw), _ceildiv(self.height, bh)
-        self._used_predictor = False
-        order = [(by, bx) for by in range(by_n) for bx in range(bx_n)]
-        if self.num_threads > 1 and len(order) > 1:
-            with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
-                blocks = list(ex.map(lambda rc: self._block_bytes(*rc), order))
-        else:
-            blocks = [self._block_bytes(*rc) for rc in order]
+        # IFD0 = full resolution; one chained reduced-resolution IFD per
+        # overview factor (NewSubfileType=1, nearest resampling) — the
+        # COG-style layout GDAL/QGIS use for fast zoomed-out display
+        levels: list[tuple] = [(self._buf, self.width, self.height, 0)]
+        for fct in self.overviews:
+            ov = self._buf[:, ::fct, ::fct]
+            if ov.shape[1] < 1 or ov.shape[2] < 1:
+                continue
+            levels.append((ov, ov.shape[2], ov.shape[1], 1))
 
-        bo = "<"
         with open(self.path, "wb") as f:
             if self.bigtiff:
                 f.write(b"II" + struct.pack("<HHH", 43, 8, 0) + struct.pack("<Q", 0))
+                prev_next_pos = 8
             else:
                 f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", 0))
-            offsets, counts = [], []
-            for blk in blocks:
-                if f.tell() % 2:
-                    f.write(b"\x00")
-                offsets.append(f.tell())
-                counts.append(len(blk))
-                f.write(blk)
-            ifd_off = self._write_ifd(f, offsets, counts)
-            # patch first-IFD pointer
-            if self.bigtiff:
-                f.seek(8)
-                f.write(struct.pack("<Q", ifd_off))
-            else:
-                f.seek(4)
-                f.write(struct.pack("<I", ifd_off))
+                prev_next_pos = 4
 
-    def _write_ifd(self, f, offsets, counts) -> int:
+            for arr, w, h, subfile in levels:
+                if self.tiled:
+                    bw, bh = self.block_w, self.block_h
+                else:
+                    bw, bh = w, min(self.block_h, h)
+                bx_n, by_n = _ceildiv(w, bw), _ceildiv(h, bh)
+                self._used_predictor = False
+                order = [(by, bx) for by in range(by_n) for bx in range(bx_n)]
+                if self.num_threads > 1 and len(order) > 1:
+                    with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+                        blocks = list(ex.map(
+                            lambda rc: self._block_bytes(arr, *rc, bh, bw), order))
+                else:
+                    blocks = [self._block_bytes(arr, *rc, bh, bw) for rc in order]
+                offsets, counts = [], []
+                for blk in blocks:
+                    if f.tell() % 2:
+                        f.write(b"\x00")
+                    offsets.append(f.tell())
+                    counts.append(len(blk))
+                    f.write(blk)
+                ifd_off, next_pos = self._write_ifd(
+                    f, offsets, counts, w, h, bw, bh, subfile)
+                end = f.tell()
+                f.seek(prev_next_pos)
+                f.write(struct.pack("<Q" if self.bigtiff else "<I", ifd_off))
+                f.seek(end)
+                prev_next_pos = next_pos
+
+    def _write_ifd(self, f, offsets, counts, width: int, height: int,
+                   block_w: int, block_h: int, subfile: int = 0) -> tuple[int, int]:
         bigtiff = self.bigtiff
         kind = self.dtype.kind
         sample_fmt = {"u": 1, "i": 2, "f": 3}[kind]
@@ -691,8 +737,10 @@ class TiffWriter:
             entries.append((tag, typ, list(vals) if isinstance(vals, (list, tuple)) else [vals]))
 
         off_t = 16 if bigtiff else 4  # LONG8 vs LONG
-        add(TAG_WIDTH, 4, self.width)
-        add(TAG_LENGTH, 4, self.height)
+        if subfile:
+            add(254, 4, subfile)  # NewSubfileType: reduced-resolution image
+        add(TAG_WIDTH, 4, width)
+        add(TAG_LENGTH, 4, height)
         add(TAG_BITSPERSAMPLE, 3, [bits] * self.count)
         add(TAG_COMPRESSION, 3, self.compression)
         rgb = self.count == 3 and self.dtype == np.uint8
@@ -705,24 +753,24 @@ class TiffWriter:
             add(TAG_PREDICTOR, 3, 2)
         add(TAG_SAMPLEFORMAT, 3, [sample_fmt] * self.count)
         if self.tiled:
-            add(TAG_TILEWIDTH, 3, self.block_w)
-            add(TAG_TILELENGTH, 3, self.block_h)
+            add(TAG_TILEWIDTH, 3, block_w)
+            add(TAG_TILELENGTH, 3, block_h)
             add(TAG_TILEOFFSETS, off_t, offsets)
             add(TAG_TILEBYTECOUNTS, off_t if bigtiff else 4, counts)
         else:
-            add(TAG_ROWSPERSTRIP, 4, self.block_h)
+            add(TAG_ROWSPERSTRIP, 4, block_h)
             add(TAG_STRIPOFFSETS, off_t, offsets)
             add(TAG_STRIPBYTECOUNTS, off_t if bigtiff else 4, counts)
 
         tr = self.transform
-        if tr.to_tuple() != Affine.identity().to_tuple():
+        if not subfile and tr.to_tuple() != Affine.identity().to_tuple():
             if tr.b == 0 and tr.d == 0:
                 add(TAG_MODELPIXELSCALE, 12, [tr.a, -tr.e, 0.0])
                 add(TAG_MODELTIEPOINT, 12, [0.0, 0.0, 0.0, tr.c, tr.f, 0.0])
             else:
                 add(TAG_MODELTRANSFORM, 12,
                     [tr.a, tr.b, 0, tr.c, tr.d, tr.e, 0, tr.f, 0, 0, 0, 0, 0, 0, 0, 1])
-        if self.crs is not None:
+        if not subfile and self.crs is not None:
             epsg = int(self.crs)
             geographic = 4000 <= epsg < 5000
             keys = [1, 1, 0, 3,
@@ -730,7 +778,7 @@ class TiffWriter:
                     1025, 0, 1, 1,  # PixelIsArea
                     (2048 if geographic else 3072), 0, 1, epsg]
             add(TAG_GEOKEYDIR, 3, keys)
-        if self.nodata is not None:
+        if not subfile and self.nodata is not None:
             nd = str(int(self.nodata) if float(self.nodata).is_integer() else self.nodata)
             entries.append((TAG_GDAL_NODATA, 2, nd))
 
@@ -775,8 +823,9 @@ class TiffWriter:
                 f.write(struct.pack("<Q" if bigtiff else "<I", payload_pos[i]))
             else:
                 f.write(raw.ljust(val_sz, b"\x00"))
-        f.write(struct.pack("<Q" if bigtiff else "<I", 0))  # next IFD
-        return ifd_off
+        next_pos = f.tell()
+        f.write(struct.pack("<Q" if bigtiff else "<I", 0))  # next IFD (patched)
+        return ifd_off, next_pos
 
 
 def write_array(path, array: np.ndarray, transform: Affine | None = None,

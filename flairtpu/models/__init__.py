@@ -2,8 +2,13 @@
 
 - :mod:`flairtpu.models.resnet` — ResNet-18/34/50 encoders (torchvision
   topology, NHWC).
-- :mod:`flairtpu.models.unet` — U-Net decoder + segmentation head matching
-  segmentation-models-pytorch 0.3.3.
+- :mod:`flairtpu.models.unet` — U-Net / U-Net++ decoders + segmentation head
+  matching segmentation-models-pytorch 0.3.3 (incl. the inner-crop decode
+  fast path for zone exact clipping).
+- :mod:`flairtpu.models.deeplab` — DeepLabV3+ ASPP decoder (smp topology).
+- :mod:`flairtpu.models.segformer` / ``swin_upernet`` / ``convnext_upernet`` /
+  ``beit_upernet`` — the HuggingFace-provider families, parity-tested against
+  transformers.
 - :mod:`flairtpu.models.metadata_mlp` — 45-d metadata encoder + encoder-feature
   fusion (reference src/flair/model.py:56-62, 82-92).
 - :mod:`flairtpu.models.factory` — ``create_model(config)`` provider dispatch

@@ -275,7 +275,10 @@ def _make_writer(config: dict, reader: TiffReader, path_out: str) -> TiffWriter:
         compress="lzw", tiled=True,
         blockxsize=config["img_pixels_detection"],
         blockysize=config["img_pixels_detection"],
-        bigtiff="auto")
+        bigtiff="auto",
+        # optional COG-style overview pyramid (nearest; class rasters must
+        # not blend labels), e.g. output_overviews: [2, 4, 8]
+        overviews=config.get("output_overviews"))
 
 
 def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,

@@ -120,3 +120,54 @@ def test_crs_prefers_projected_over_geographic_geokey():
                                 2048, 0, 1, 4326]}
 
     assert TiffReader._parse_crs(GeographicOnly()) == 4326
+
+
+def test_overviews_cog_layout(tmp_path, rng):
+    """overviews=[2,4] writes chained reduced-resolution IFDs (COG layout):
+    PIL sees 3 frames; our reader opens each level via ifd_index; nearest
+    resampling preserves label values."""
+    arr = rng.integers(0, 19, size=(2, 100, 120)).astype(np.uint8)
+    p = tmp_path / "ov.tif"
+    from flairtpu.io.tiff import Affine, TiffWriter
+
+    w = TiffWriter(p, 120, 100, 2, "uint8", compress="lzw", tiled=True,
+                   blockxsize=64, blockysize=64, overviews=[2, 4],
+                   transform=Affine.from_origin(0, 100, 0.5, 0.5), crs=2154)
+    w.write(arr)
+    w.close()
+
+    with TiffReader(p) as r:
+        assert (r.width, r.height) == (120, 100)
+        assert len(r.overview_offsets) == 2
+        np.testing.assert_array_equal(r.read(), arr)
+        assert r.crs == 2154
+    with TiffReader(p, ifd_index=1) as r1:
+        assert (r1.width, r1.height) == (60, 50)
+        np.testing.assert_array_equal(r1.read(), arr[:, ::2, ::2])
+    with TiffReader(p, ifd_index=2) as r2:
+        assert (r2.width, r2.height) == (30, 25)
+        np.testing.assert_array_equal(r2.read(), arr[:, ::4, ::4])
+
+    # PIL cross-check on a single-band variant (PIL cannot open 2-band TIFFs)
+    p1 = p.with_name("ov1.tif")
+    w = TiffWriter(p1, 120, 100, 1, "uint8", compress="lzw", tiled=True,
+                   blockxsize=64, blockysize=64, overviews=[2, 4])
+    w.write(arr[:1])
+    w.close()
+    with Image.open(p1) as im:
+        assert im.n_frames == 3
+        assert im.size == (120, 100)
+        np.testing.assert_array_equal(np.asarray(im), arr[0])
+        im.seek(1)
+        assert im.size == (60, 50)
+        np.testing.assert_array_equal(np.asarray(im), arr[0, ::2, ::2])
+
+
+def test_overviews_off_by_default(tmp_path, rng):
+    from flairtpu.io.tiff import write_array
+
+    arr = rng.integers(0, 255, size=(1, 40, 40)).astype(np.uint8)
+    p = tmp_path / "plain.tif"
+    write_array(p, arr)
+    with TiffReader(p) as r:
+        assert r.overview_offsets == []

@@ -285,3 +285,19 @@ def test_streaming_zero_patch_fallback(zone_setup, monkeypatch, capsys):
     out = Path(cfg["output_path"]) / "zone_irc-ARGMAX-S.tif"
     with TiffReader(out) as r:
         assert (r.read(2) > 0).all()  # pipeline completed, every pixel written
+
+
+def test_output_overviews_option(zone_setup):
+    """output_overviews: [2] adds a chained reduced-resolution IFD (COG)."""
+    tmp, make_config, _, _ = zone_setup
+    cfg = cfgmod.validate_detect_config(make_config(
+        metrics=False, compare=False, output_overviews=[2],
+        output_path=str(tmp / "out_ov")))
+    _run(cfg)
+    out = Path(cfg["output_path"]) / "zone_irc-ARGMAX-S.tif"
+    with TiffReader(out) as r:
+        assert len(r.overview_offsets) == 1
+        base = r.read(1)
+    with TiffReader(out, ifd_index=1) as r1:
+        assert (r1.width, r1.height) == (ZONE_W // 2, ZONE_H // 2)
+        np.testing.assert_array_equal(r1.read(1), base[::2, ::2])
