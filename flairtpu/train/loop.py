@@ -126,11 +126,20 @@ class SegmentationTrainer:
     # -- loss --
 
     def _loss(self, logits: jax.Array, targets: jax.Array):
-        """torch CrossEntropyLoss(weight=w) parity: weighted mean NLL."""
+        """torch CrossEntropyLoss(weight=w) parity: weighted mean NLL.
+
+        Written as a one-hot masked reduce rather than ``take_along_axis``:
+        8.4M-element gathers execute on the TPU scalar unit (profiled at
+        ~200 ms/step at batch 32, half the step), while the one-hot form
+        fuses into the log-softmax as a vectorized select+reduce. The sums
+        are term-for-term identical, so values and gradients are unchanged.
+        """
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        w = self.class_weights[targets]
-        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+        onehot_w = jax.nn.one_hot(targets, logits.shape[-1],
+                                  dtype=jnp.float32) * self.class_weights
+        loss_sum = -jnp.sum(logp * onehot_w)
+        w_sum = jnp.sum(onehot_w)
+        return loss_sum / jnp.maximum(w_sum, 1e-8)
 
     def _clean_targets(self, msk: jax.Array) -> jax.Array:
         # out-of-range classes -> 0, matching argmax of an all-zero one-hot row

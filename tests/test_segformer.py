@@ -74,8 +74,12 @@ def test_create_hf_model_dispatch():
 
     m3 = create_hf_model("openmmlab/upernet-swin-small", 19, jnp.float32)
     assert isinstance(m3, SwinUperNet) and m3.spec == "small"
+    from flairtpu.models.beit_upernet import BeitUperNet
+
+    m4 = create_hf_model("openmmlab/upernet-beit-base", 19, jnp.float32)
+    assert isinstance(m4, BeitUperNet)
     with pytest.raises(NotImplementedError, match="not ported"):
-        create_hf_model("openmmlab/upernet-beit-base", 19, jnp.float32)
+        create_hf_model("openmmlab/upernet-beit-giant", 19, jnp.float32)
 
 
 def test_hf_pth_loads_strict(torch_segformer, tmp_path):
