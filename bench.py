@@ -158,13 +158,14 @@ def main() -> None:
 
     from flairtpu.zone.engine import run_single
 
-    # first pass compiles the fused zone program; then best-of-3 measured
+    # first pass compiles the fused zone program; then best-of-N measured
     # passes (the dev TPU tunnel's transfer throughput varies heavily between
-    # runs; the best pass reflects the program, not tunnel weather)
+    # runs — 15..70 MB/s H2D observed; the best pass reflects the program,
+    # not tunnel weather, and compute_seconds is stable across passes)
     warm_out, _, _ = run_single(config, engine, stride, "exact-clipping")
     Path(warm_out).unlink(missing_ok=True)
     best = None
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "4"))):
         path_out, stats, _ = run_single(config, engine, stride, "exact-clipping")
         Path(path_out).unlink(missing_ok=True)
         if best is None or stats["patches_per_sec"] > best["patches_per_sec"]:

@@ -6,6 +6,8 @@
   matching segmentation-models-pytorch 0.3.3 (incl. the inner-crop decode
   fast path for zone exact clipping).
 - :mod:`flairtpu.models.deeplab` — DeepLabV3+ ASPP decoder (smp topology).
+- :mod:`flairtpu.models.smp_extra` — FPN, PSPNet, LinkNet and DeepLabV3
+  (non-plus) decoders, completing the smp architecture set.
 - :mod:`flairtpu.models.segformer` / ``swin_upernet`` / ``convnext_upernet`` /
   ``beit_upernet`` — the HuggingFace-provider families, parity-tested against
   transformers.

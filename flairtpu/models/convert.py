@@ -53,6 +53,16 @@ _LAYER_RE = re.compile(r"^encoder\.layer(\d+)\.(\d+)\.(.+)$")
 _BLOCK_RE = re.compile(r"^decoder\.blocks\.(x_\d+_\d+|\d+)\.(conv[12])\.([01])\.(.+)$")
 _MLP_RE = re.compile(r"^enc\.enc_mlp\.(\d+)\.(weight|bias)$")
 _DEEPLAB_RE = re.compile(r"^decoder\.(aspp|block1|block2)\.(.+)$")
+# FPN: p5 / pN.skip_conv laterals + seg_blocks.{i}.block.{j}.block.{0 conv,1 gn}
+_FPN_LATERAL_RE = re.compile(r"^decoder\.p(\d)(?:\.skip_conv)?\.(weight|bias)$")
+_FPN_SEG_RE = re.compile(
+    r"^decoder\.seg_blocks\.(\d+)\.block\.(\d+)\.block\.([01])\.(weight|bias)$")
+# PSPNet: psp.blocks.{i}.pool.1.{0 conv,1 bn} + decoder.conv.{0,1}
+_PSP_RE = re.compile(r"^decoder\.(?:psp\.blocks\.(\d+)\.pool\.1|conv)\.([01])\.(.+)$")
+# LinkNet: blocks.{i}.block.{0 Conv2dReLU,1 TransposeX2,2 Conv2dReLU}.{sub}
+_LINKNET_RE = re.compile(r"^decoder\.blocks\.(\d+)\.block\.([012])\.([012])\.(.+)$")
+# DeepLabV3 (non-plus, nn.Sequential decoder): decoder.{0 ASPP,1 conv,2 bn}
+_DLV3_RE = re.compile(r"^decoder\.([012])\.(.+)$")
 
 _BN_PARAM = {"weight": ("params", "scale"), "bias": ("params", "bias")}
 _BN_STATS = {"running_mean": ("batch_stats", "mean"), "running_var": ("batch_stats", "var")}
@@ -137,6 +147,100 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                     _convert_tensor(leaf, arr, "conv"))
             else:
                 put_bn(mod + (f"bn{convname[-1]}",), leaf, arr)
+            continue
+        # --- FPN decoder (smp decoders/fpn/decoder.py) ---
+        m = _FPN_LATERAL_RE.match(key)
+        if m:
+            level, leaf = m.groups()
+            mod = "p5" if level == "5" else f"p{level}_skip"
+            put("params", ("decoder", mod, "kernel" if leaf == "weight" else leaf),
+                _convert_tensor(leaf, arr, "conv"))
+            continue
+        m = _FPN_SEG_RE.match(key)
+        if m:
+            i, j, sub, leaf = m.groups()
+            mod = ("decoder", f"seg{i}_c{j}")
+            if sub == "0":  # conv
+                put("params", mod + ("conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:  # GroupNorm affine
+                put("params", mod + ("gn", "scale" if leaf == "weight" else "bias"),
+                    arr)
+            continue
+        # --- LinkNet decoder (smp decoders/linknet/decoder.py) ---
+        m = _LINKNET_RE.match(key)
+        if m:
+            i, part, sub, leaf = m.groups()
+            blk = ("decoder", f"block{i}")
+            if part in ("0", "2"):  # Conv2dReLU reduce/expand
+                mod = blk + ("conv_in" if part == "0" else "conv_out",)
+                if sub == "0":
+                    put("params", mod + ("conv", "kernel"),
+                        _convert_tensor("weight", arr, "conv"))
+                else:
+                    put_bn(mod + ("bn",), leaf, arr)
+            else:  # TransposeX2: ConvTranspose2d + BN (+ ReLU)
+                if sub == "0":
+                    if leaf == "weight":  # (I, O, kH, kW) -> flipped (kH, kW, I, O)
+                        put("params", blk + ("convt", "kernel"),
+                            np.transpose(arr[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy())
+                    else:
+                        put("params", blk + ("convt", "bias"), arr)
+                else:
+                    put_bn(blk + ("convt_bn",), leaf, arr)
+            continue
+        # --- PSPNet decoder (smp decoders/pspnet/decoder.py) ---
+        m = _PSP_RE.match(key)
+        if m:
+            i, sub, leaf = m.groups()
+            mod = ("decoder", "conv" if i is None else f"psp_block{i}")
+            if sub == "0":
+                put("params", mod + ("conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                put_bn(mod + ("bn",), leaf, arr)
+            continue
+        # --- DeepLabV3 non-plus decoder (smp DeepLabV3Decoder Sequential) ---
+        m = _DLV3_RE.match(key)
+        if m and not key.startswith(("decoder.blocks.", "decoder.psp.")):
+            idx, rest = m.group(1), m.group(2).split(".")
+            leaf = rest[-1]
+            if idx == "1":  # 3x3 conv after ASPP
+                put("params", ("decoder", "out_conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            elif idx == "2":  # its BN
+                put_bn(("decoder", "out_bn"), leaf, arr)
+            elif rest[0] == "convs":
+                i = int(rest[1])
+                if i == 0:  # 1x1 branch: Sequential(conv, bn, relu)
+                    mod = ("decoder", "aspp_conv")
+                    if rest[2] == "0":
+                        put("params", mod + ("conv", "kernel"),
+                            _convert_tensor("weight", arr, "conv"))
+                    else:
+                        put_bn(mod + ("bn",), leaf, arr)
+                elif i in (1, 2, 3):  # plain atrous conv branches
+                    if rest[2] == "0":
+                        put("params", ("decoder", f"aspp_atrous{i - 1}_conv",
+                                       "kernel"),
+                            _convert_tensor("weight", arr, "conv"))
+                    else:
+                        put_bn(("decoder", f"aspp_atrous{i - 1}_bn"), leaf, arr)
+                else:  # pooling branch: Sequential(pool, conv, bn, relu)
+                    if rest[2] == "1":
+                        put("params", ("decoder", "aspp_pool", "conv", "kernel"),
+                            _convert_tensor("weight", arr, "conv"))
+                    else:
+                        put_bn(("decoder", "aspp_pool", "bn"), leaf, arr)
+            elif rest[0] == "project":
+                mod = ("decoder", "aspp_project")
+                if rest[1] == "0":
+                    put("params", mod + ("conv", "kernel"),
+                        _convert_tensor("weight", arr, "conv"))
+                else:
+                    put_bn(mod + ("bn",), leaf, arr)
+            else:
+                raise KeyError(f"unrecognized deeplabv3 decoder key {key!r}")
             continue
         # --- DeepLabV3+ decoder (smp decoders/deeplabv3/decoder.py) ---
         m = _DEEPLAB_RE.match(key)

@@ -3,14 +3,16 @@
 Provider dispatch mirrors the reference FLAIR_ModelFactory
 (src/flair/model.py:20-50, src/zone_detect/model.py:12-58):
 
-- ``SegmentationModelsPytorch`` + ``encoder_decoder: resnet34_unet`` (and the
-  other resnet encoders) -> first-party Flax ResNet-U-Net, weight-compatible
-  with the published FLAIR-INC ``.pth`` checkpoints via
-  :mod:`flairtpu.models.convert`.
+- ``SegmentationModelsPytorch`` + ``encoder_decoder: <encoder>_<arch>`` ->
+  first-party Flax ports of the smp architectures (unet, unetplusplus,
+  deeplabv3plus, deeplabv3, fpn, pspnet, linknet) over the resnet encoder
+  family, weight-compatible with the published FLAIR-INC ``.pth``
+  checkpoints via :mod:`flairtpu.models.convert`.
 - ``HuggingFace`` -> first-party Flax ports dispatched by org model name:
   SegFormer b0-b5 (``nvidia/segformer*``), Swin-UperNet
-  (``openmmlab/upernet-swin-*``, the reference default) and ConvNeXt-UperNet
-  (``openmmlab/upernet-convnext-*``); unsupported org models raise with a
+  (``openmmlab/upernet-swin-*``, the reference default), ConvNeXt-UperNet
+  (``openmmlab/upernet-convnext-*``) and BEiT-UperNet
+  (``openmmlab/upernet-beit-*``); unsupported org models raise with a
   clear message listing the supported families.
 
 The returned module computes in ``dtype`` (bf16 by default on TPU for MXU
@@ -66,10 +68,43 @@ class FlairSegmentationModel(nn.Module):
             self.decoder = DeepLabV3PlusDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
+        elif self.arch == "deeplabv3":
+            from flairtpu.models.smp_extra import DeepLabV3Decoder
+
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         output_stride=8, dtype=self.dtype)
+            self.decoder = DeepLabV3Decoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, kernel=1,
+                                                      dtype=self.dtype)
+        elif self.arch == "fpn":
+            from flairtpu.models.smp_extra import FPNDecoder
+
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         dtype=self.dtype)
+            self.decoder = FPNDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, kernel=1,
+                                                      dtype=self.dtype)
+        elif self.arch == "pspnet":
+            from flairtpu.models.smp_extra import PSPDecoder
+
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         depth=3, dtype=self.dtype)
+            self.decoder = PSPDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, kernel=3,
+                                                      dtype=self.dtype)
+        elif self.arch == "linknet":
+            from flairtpu.models.smp_extra import LinknetDecoder
+
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         dtype=self.dtype)
+            self.decoder = LinknetDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, kernel=1,
+                                                      dtype=self.dtype)
         else:
             raise NotImplementedError(
-                f"architecture {self.arch!r} not ported "
-                "(supported: unet, deeplabv3plus)")
+                f"architecture {self.arch!r} not ported (supported: "
+                "unet, unetplusplus, deeplabv3plus, deeplabv3, fpn, pspnet, "
+                "linknet)")
         if self.use_metadata:
             self.metadata_mlp = MetadataMLP(dtype=self.dtype)
 
@@ -101,11 +136,15 @@ class FlairSegmentationModel(nn.Module):
             return logits.astype(jnp.float32)
         y = self.decoder(feats, train=train)
         logits = self.segmentation_head(y)
-        if self.arch == "deeplabv3plus":
+        # smp SegmentationHead upsampling factor (UpsamplingBilinear2d):
+        # deeplabv3plus/fpn emit stride-4 maps, deeplabv3/pspnet stride-8
+        up = {"deeplabv3plus": 4, "fpn": 4, "deeplabv3": 8, "pspnet": 8}.get(
+            self.arch, 1)
+        if up > 1:
             from flairtpu.models.deeplab import upsample_align_corners
 
             B, H, W, _ = logits.shape
-            logits = upsample_align_corners(logits, (4 * H, 4 * W))
+            logits = upsample_align_corners(logits, (up * H, up * W))
         return logits.astype(jnp.float32)
 
 
@@ -117,10 +156,11 @@ def create_model(config: dict, dtype: Any = jnp.float32) -> FlairSegmentationMod
 
     if provider == "SegmentationModelsPytorch":
         encoder, arch = mf["SegmentationModelsPytorch"]["encoder_decoder"].split("_")
-        if arch not in ("unet", "unetplusplus", "deeplabv3plus"):
+        if arch not in ("unet", "unetplusplus", "deeplabv3plus", "deeplabv3",
+                        "fpn", "pspnet", "linknet"):
             raise NotImplementedError(
-                f"architecture {arch!r} not yet ported "
-                "(supported: unet, unetplusplus, deeplabv3plus)")
+                f"architecture {arch!r} not yet ported (supported: unet, "
+                "unetplusplus, deeplabv3plus, deeplabv3, fpn, pspnet, linknet)")
         if encoder not in RESNET_SPECS:
             raise NotImplementedError(
                 f"encoder {encoder!r} not yet ported (supported: {sorted(RESNET_SPECS)})")

@@ -143,6 +143,10 @@ class ResNetEncoder(nn.Module):
     # layer3 (rate 2) + layer4 (rate 4); strides in dilated stages become 1
     # (encoders/_base.py make_dilated + _utils.replace_strides_with_dilation)
     output_stride: int = 32
+    # smp get_encoder(depth=...): truncate to `depth` downsampling stages
+    # (depth 5 = all four residual stages; PSPNet uses depth 3 = stop after
+    # layer2, stride 8)
+    depth: int = 5
     dtype: Any = jnp.float32
 
     @property
@@ -167,7 +171,7 @@ class ResNetEncoder(nn.Module):
         y = max_pool_3x3_s2(y)
         in_ch = 64
         dilations = {32: {}, 16: {3: 2}, 8: {2: 2, 3: 4}}[self.output_stride]
-        for stage, n_units in enumerate(units):
+        for stage, n_units in enumerate(units[:max(self.depth - 1, 0)]):
             width = 64 * (2 ** stage)
             dilation = dilations.get(stage, 1)
             stride = 1 if stage == 0 or dilation > 1 else 2

@@ -134,7 +134,7 @@ def test_factory_from_config():
         create_model({
             "model_framework": {
                 "model_provider": "SegmentationModelsPytorch",
-                "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_fpn"},
+                "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_pan"},
             },
             "n_classes": 3,
         })

@@ -37,8 +37,9 @@ class BasicBlock(nn.Module):
 
 
 class ResNet34Encoder(nn.Module):
-    def __init__(self, in_channels: int):
+    def __init__(self, in_channels: int, depth: int = 5):
         super().__init__()
+        self.depth = depth
         self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.relu = nn.ReLU(inplace=True)
@@ -49,19 +50,20 @@ class ResNet34Encoder(nn.Module):
             blocks += [BasicBlock(out_ch, out_ch) for _ in range(n - 1)]
             return nn.Sequential(*blocks)
 
-        self.layer1 = stage(64, 64, 3, 1)
-        self.layer2 = stage(64, 128, 4, 2)
-        self.layer3 = stage(128, 256, 6, 2)
-        self.layer4 = stage(256, 512, 3, 2)
+        specs = [(64, 64, 3, 1), (64, 128, 4, 2), (128, 256, 6, 2),
+                 (256, 512, 3, 2)]
+        for i, spec in enumerate(specs[:max(depth - 1, 0)], start=1):
+            setattr(self, f"layer{i}", stage(*spec))
 
     def forward(self, x):
         feats = [x]
         x = self.relu(self.bn1(self.conv1(x)))
         feats.append(x)
-        x = self.layer1(self.maxpool(x))
-        feats.append(x)
-        for layer in (self.layer2, self.layer3, self.layer4):
-            x = layer(x)
+        if self.depth >= 2:
+            x = self.layer1(self.maxpool(x))
+            feats.append(x)
+        for i in range(2, self.depth):
+            x = getattr(self, f"layer{i}")(x)
             feats.append(x)
         return feats
 
@@ -166,13 +168,23 @@ class ASPPPooling(nn.Sequential):
         return F.interpolate(x, size=size, mode="bilinear", align_corners=False)
 
 
+class ASPPConv(nn.Sequential):
+    def __init__(self, in_ch, out_ch, dilation):
+        super().__init__(
+            nn.Conv2d(in_ch, out_ch, 3, padding=dilation, dilation=dilation,
+                      bias=False),
+            nn.BatchNorm2d(out_ch), nn.ReLU())
+
+
 class ASPP(nn.Module):
-    def __init__(self, in_ch, out_ch, atrous_rates=(12, 24, 36)):
+    def __init__(self, in_ch, out_ch, atrous_rates=(12, 24, 36),
+                 separable=True):
         super().__init__()
         mods = [nn.Sequential(nn.Conv2d(in_ch, out_ch, 1, bias=False),
                               nn.BatchNorm2d(out_ch), nn.ReLU())]
+        branch = ASPPSeparableConv if separable else ASPPConv
         for rate in atrous_rates:
-            mods.append(ASPPSeparableConv(in_ch, out_ch, rate))
+            mods.append(branch(in_ch, out_ch, rate))
         mods.append(ASPPPooling(in_ch, out_ch))
         self.convs = nn.ModuleList(mods)
         self.project = nn.Sequential(
@@ -303,3 +315,238 @@ class ResNet34UnetPlusPlus(nn.Module):
     def forward(self, x):
         feats = self.encoder(x)
         return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 FPN mirror (decoders/fpn/decoder.py key names)
+# ---------------------------------------------------------------------------
+
+class Conv3x3GNReLU(nn.Module):
+    def __init__(self, in_ch, out_ch, upsample=False):
+        super().__init__()
+        self.upsample = upsample
+        self.block = nn.Sequential(
+            nn.Conv2d(in_ch, out_ch, 3, padding=1, bias=False),
+            nn.GroupNorm(32, out_ch),
+            nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        x = self.block(x)
+        if self.upsample:
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+        return x
+
+
+class FPNBlock(nn.Module):
+    def __init__(self, pyramid_channels, skip_channels):
+        super().__init__()
+        self.skip_conv = nn.Conv2d(skip_channels, pyramid_channels, 1)
+
+    def forward(self, x, skip):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        return x + self.skip_conv(skip)
+
+
+class SegmentationBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, n_upsamples=0):
+        super().__init__()
+        blocks = [Conv3x3GNReLU(in_ch, out_ch, upsample=bool(n_upsamples))]
+        if n_upsamples > 1:
+            blocks += [Conv3x3GNReLU(out_ch, out_ch, upsample=True)
+                       for _ in range(1, n_upsamples)]
+        self.block = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.block(x)
+
+
+class FPNDecoder(nn.Module):
+    def __init__(self, encoder_channels=(64, 64, 128, 256, 512),
+                 pyramid_channels=256, segmentation_channels=128):
+        super().__init__()
+        self.p5 = nn.Conv2d(encoder_channels[-1], pyramid_channels, 1)
+        self.p4 = FPNBlock(pyramid_channels, encoder_channels[-2])
+        self.p3 = FPNBlock(pyramid_channels, encoder_channels[-3])
+        self.p2 = FPNBlock(pyramid_channels, encoder_channels[-4])
+        self.seg_blocks = nn.ModuleList([
+            SegmentationBlock(pyramid_channels, segmentation_channels, n)
+            for n in (3, 2, 1, 0)])
+        self.dropout = nn.Dropout2d(0.2, inplace=True)
+
+    def forward(self, *features):
+        c2, c3, c4, c5 = features[-4:]
+        p5 = self.p5(c5)
+        p4 = self.p4(p5, c4)
+        p3 = self.p3(p4, c3)
+        p2 = self.p2(p3, c2)
+        out = sum(b(p) for b, p in zip(self.seg_blocks, (p5, p4, p3, p2)))
+        return self.dropout(out)
+
+
+class ResNet34FPN(nn.Module):
+    """smp.create_model('fpn', 'resnet34', ...) mirror."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels)
+        self.decoder = FPNDecoder()
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(128, classes, 1),
+            nn.UpsamplingBilinear2d(scale_factor=4))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 PSPNet mirror (decoders/pspnet/decoder.py; encoder depth 3)
+# ---------------------------------------------------------------------------
+
+class PSPBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, pool_size):
+        super().__init__()
+        self.pool = nn.Sequential(
+            nn.AdaptiveAvgPool2d(output_size=pool_size),
+            nn.Sequential(nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                          nn.BatchNorm2d(out_ch), nn.ReLU(inplace=True)))
+
+    def forward(self, x):
+        h, w = x.shape[-2:]
+        return F.interpolate(self.pool(x), size=(h, w), mode="bilinear",
+                             align_corners=True)
+
+
+class PSPModule(nn.Module):
+    def __init__(self, in_ch, sizes=(1, 2, 3, 6)):
+        super().__init__()
+        self.blocks = nn.ModuleList(
+            [PSPBlock(in_ch, in_ch // len(sizes), s) for s in sizes])
+
+    def forward(self, x):
+        xs = [b(x) for b in self.blocks] + [x]
+        return torch.cat(xs, dim=1)
+
+
+class PSPDecoder(nn.Module):
+    def __init__(self, in_ch=128, out_channels=512):
+        super().__init__()
+        self.psp = PSPModule(in_ch)
+        self.conv = nn.Sequential(nn.Conv2d(in_ch * 2, out_channels, 1,
+                                            bias=False),
+                                  nn.BatchNorm2d(out_channels),
+                                  nn.ReLU(inplace=True))
+        self.dropout = nn.Dropout2d(p=0.2)
+
+    def forward(self, *features):
+        return self.dropout(self.conv(self.psp(features[-1])))
+
+
+class ResNet34PSPNet(nn.Module):
+    """smp.create_model('pspnet', 'resnet34', ...) mirror (encoder_depth=3).
+
+    NOTE: a real smp checkpoint also carries encoder.layer3/layer4 weights
+    (smp keeps the unused stages); this mirror truncates the encoder so the
+    key set matches what flairtpu's pspnet model instantiates. Real
+    checkpoints load with strict=False.
+    """
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels, depth=3)
+        self.decoder = PSPDecoder()
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(512, classes, 3, padding=1),
+            nn.UpsamplingBilinear2d(scale_factor=8))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 Linknet mirror (decoders/linknet/decoder.py key names)
+# ---------------------------------------------------------------------------
+
+class TransposeX2(nn.Sequential):
+    def __init__(self, in_ch, out_ch):
+        super().__init__(
+            nn.ConvTranspose2d(in_ch, out_ch, kernel_size=4, stride=2,
+                               padding=1),
+            nn.BatchNorm2d(out_ch),
+            nn.ReLU(inplace=True))
+
+
+class LinknetDecoderBlock(nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.Sequential(nn.Conv2d(in_ch, in_ch // 4, 1, bias=False),
+                          nn.BatchNorm2d(in_ch // 4), nn.ReLU(inplace=True)),
+            TransposeX2(in_ch // 4, in_ch // 4),
+            nn.Sequential(nn.Conv2d(in_ch // 4, out_ch, 1, bias=False),
+                          nn.BatchNorm2d(out_ch), nn.ReLU(inplace=True)))
+
+    def forward(self, x, skip=None):
+        x = self.block(x)
+        if skip is not None:
+            x = x + skip
+        return x
+
+
+class LinknetDecoder(nn.Module):
+    def __init__(self, encoder_channels=(64, 64, 128, 256, 512),
+                 prefinal_channels=32):
+        super().__init__()
+        # encoder_channels here already excludes the input slot (smp's list
+        # starts with in_ch and drops it with [1:]; ours starts at the stem)
+        chans = list(encoder_channels[::-1]) + [prefinal_channels]
+        self.blocks = nn.ModuleList(
+            [LinknetDecoderBlock(chans[i], chans[i + 1]) for i in range(5)])
+
+    def forward(self, *features):
+        feats = list(features[1:])[::-1]
+        x, skips = feats[0], feats[1:]
+        for i, block in enumerate(self.blocks):
+            x = block(x, skips[i] if i < len(skips) else None)
+        return x
+
+
+class ResNet34Linknet(nn.Module):
+    """smp.create_model('linknet', 'resnet34', ...) mirror."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels)
+        self.decoder = LinknetDecoder()
+        self.segmentation_head = nn.Sequential(nn.Conv2d(32, classes, 1))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 DeepLabV3 (non-plus) mirror: Sequential decoder at os=8
+# ---------------------------------------------------------------------------
+
+class ResNet34DeepLabV3(nn.Module):
+    """smp.create_model('deeplabv3', 'resnet34', ...) mirror (os=8)."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels)
+        _dilate_stage(self.encoder.layer3, 2)
+        _dilate_stage(self.encoder.layer4, 4)
+        self.decoder = nn.Sequential(
+            ASPP(512, 256, separable=False),
+            nn.Conv2d(256, 256, 3, padding=1, bias=False),
+            nn.BatchNorm2d(256),
+            nn.ReLU())
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(256, classes, 1),
+            nn.UpsamplingBilinear2d(scale_factor=8))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(feats[-1]))
