@@ -45,9 +45,10 @@ REF_PATCHES_PER_SEC = ref_patches_per_sec()
 ZONE = 4096
 SIZE, MARGIN = 512, 128
 N_CLASSES = 19
-# batch 32 measured best on-device compute (748 vs 639 patches/s at batch 8
-# with the inner-decode path); end-to-end is tunnel-transfer-bound either way
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+# measured on-device compute with the inner-decode path: batch 32 -> 748,
+# 64 -> 856, 128 -> 1037 patches/s/chip; end-to-end is tunnel-transfer-bound
+# either way, so batch 128 is the default for both bench modes
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 
 
 def _zone_path() -> Path:
@@ -74,6 +75,9 @@ def bench_train() -> None:
     from flairtpu.train.loop import SegmentationTrainer
 
     backend = jax.default_backend()
+    # per-chip batch 128 measured best (32 -> 101 p/s, 64 -> 151, 128 -> 234,
+    # 256 OOMs on v5e 16 GB); the low-channel convs tile the MXU far better
+    # with batch as a wide matmul dimension
     bs = BATCH
     config = {
         "model_framework": {
