@@ -1,0 +1,58 @@
+"""Zone pipeline end-to-end with the non-unet smp architectures (CPU).
+
+The inner-decode fast path is unet-only; these archs take the
+full-decode + margin-crop fallback in engine._forward_inner /
+device_engine._forward_inner — this exercises that route through the real
+flair-detect pipeline (reference src/zone_detect/main.py:244-435 analog).
+"""
+
+import numpy as np
+import pytest
+from pathlib import Path
+
+from flairtpu import config as cfgmod
+from flairtpu.io import TiffReader
+from flairtpu.io.tiff import Affine, write_array
+from flairtpu.models.factory import create_model, init_model
+from flairtpu.train.checkpoints import save_weights_msgpack
+
+
+@pytest.mark.parametrize("encoder_decoder", ["resnet18_fpn", "resnet18_linknet"])
+def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder):
+    zone = rng.integers(0, 255, size=(5, 64, 96)).astype(np.uint8)
+    zpath = tmp_path / "zone.tif"
+    write_array(zpath, zone, transform=Affine.from_origin(0, 100, 0.2, 0.2),
+                crs=2154)
+
+    mf = {"model_provider": "SegmentationModelsPytorch",
+          "SegmentationModelsPytorch": {"encoder_decoder": encoder_decoder}}
+    model = create_model({"model_framework": mf, "n_classes": 6,
+                          "channels": [1, 2, 3, 4, 5]})
+    params, stats = init_model(model, (1, 32, 32, 5))
+    weights = tmp_path / "w.msgpack"
+    save_weights_msgpack(weights, params, stats)
+
+    cfg = cfgmod.validate_detect_config({
+        "output_path": str(tmp_path / "out"),
+        "output_name": "smp-ARGMAX-S",
+        "input_img_path": str(zpath),
+        "channels": [1, 2, 3, 4, 5],
+        "img_pixels_detection": 32,
+        "margin": 8,
+        "output_type": "argmax",
+        "n_classes": 6,
+        "model_weights": str(weights),
+        "model_framework": mf,
+        "batch_size": 2,
+        "use_gpu": False,
+        "num_worker": 1,
+        "write_dataframe": False,
+        "norma_task": [{"norm_type": "scaling", "norm_means": [], "norm_stds": []}],
+    })
+    from flairtpu.zone.engine import run_pipeline
+
+    run_pipeline(cfg)
+    with TiffReader(Path(cfg["output_path"]) / "smp-ARGMAX-S.tif") as r:
+        assert (r.width, r.height, r.count) == (96, 64, 2)
+        assert (r.read(2) > 0).all()
+        assert r.read(1).max() < 6
