@@ -155,7 +155,10 @@ def create_model(config: dict, dtype: Any = jnp.float32) -> FlairSegmentationMod
     n_classes = config.get("n_classes") or len(config["classes"])
 
     if provider == "SegmentationModelsPytorch":
-        encoder, arch = mf["SegmentationModelsPytorch"]["encoder_decoder"].split("_")
+        # the arch is the last "_"-component; rsplit (vs the reference's bare
+        # split, src/flair/model.py:35) additionally admits underscore
+        # encoder names like resnext50_32x4d that crash the reference
+        encoder, arch = mf["SegmentationModelsPytorch"]["encoder_decoder"].rsplit("_", 1)
         if arch not in ("unet", "unetplusplus", "deeplabv3plus", "deeplabv3",
                         "fpn", "pspnet", "linknet"):
             raise NotImplementedError(

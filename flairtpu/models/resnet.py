@@ -20,12 +20,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# torchvision layer specs: (block, units per stage)
+# torchvision layer specs: (block, units per stage, groups, width_per_group)
 RESNET_SPECS = {
-    "resnet18": ("basic", (2, 2, 2, 2)),
-    "resnet34": ("basic", (3, 4, 6, 3)),
-    "resnet50": ("bottleneck", (3, 4, 6, 3)),
-    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet18": ("basic", (2, 2, 2, 2), 1, 64),
+    "resnet34": ("basic", (3, 4, 6, 3), 1, 64),
+    "resnet50": ("bottleneck", (3, 4, 6, 3), 1, 64),
+    "resnet101": ("bottleneck", (3, 4, 23, 3), 1, 64),
+    "resnet152": ("bottleneck", (3, 8, 36, 3), 1, 64),
+    "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 32, 4),
+    "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 32, 8),
 }
 
 _BN_EPS = 1e-5  # torch nn.BatchNorm2d default
@@ -102,22 +105,26 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """torchvision Bottleneck: 1x1-3x3-1x1 with 4x expansion."""
+    """torchvision Bottleneck: 1x1-3x3-1x1 with 4x expansion; ResNeXt via
+    ``groups``/``base_width`` (width = features * base_width / 64 * groups)."""
 
     features: int
     stride: int = 1
     downsample: bool = False
     dilation: int = 1
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        y = conv(self.features, 1, 1, padding=0, dtype=self.dtype, name="conv1")(x)
+        width = int(self.features * self.base_width / 64) * self.groups
+        y = conv(width, 1, 1, padding=0, dtype=self.dtype, name="conv1")(x)
         y = batch_norm(self.dtype, "bn1")(y, use_running_average=not train)
         y = nn.relu(y)
-        y = conv(self.features, 3, self.stride, dilation=self.dilation,
-                 dtype=self.dtype, name="conv2")(y)
+        y = conv(width, 3, self.stride, dilation=self.dilation,
+                 groups=self.groups, dtype=self.dtype, name="conv2")(y)
         y = batch_norm(self.dtype, "bn2")(y, use_running_average=not train)
         y = nn.relu(y)
         y = conv(self.features * 4, 1, 1, padding=0, dtype=self.dtype, name="conv3")(y)
@@ -151,16 +158,18 @@ class ResNetEncoder(nn.Module):
 
     @property
     def out_channels(self) -> tuple[int, ...]:
-        kind, units = RESNET_SPECS[self.name_spec]
+        kind = RESNET_SPECS[self.name_spec][0]
         if kind == "basic":
             return (0, 64, 64, 128, 256, 512)
         return (0, 64, 256, 512, 1024, 2048)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> list[jax.Array]:
-        kind, units = RESNET_SPECS[self.name_spec]
+        kind, units, groups, base_width = RESNET_SPECS[self.name_spec]
         block = BasicBlock if kind == "basic" else Bottleneck
         expansion = 1 if kind == "basic" else 4
+        block_kw = {} if kind == "basic" else {"groups": groups,
+                                               "base_width": base_width}
 
         features = [x]
         y = conv(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
@@ -186,6 +195,7 @@ class ResNetEncoder(nn.Module):
                     dilation=dilation,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{u}",
+                    **block_kw,
                 )(y, train)
                 in_ch = width * expansion
             features.append(y)  # strides 4, 8, ... (capped by output_stride)

@@ -115,3 +115,29 @@ def test_transpose_conv_matches_torch(rng):
     got = np.moveaxis(np.asarray(got), -1, 1)
     assert got.shape == want.shape == (2, 8, 18, 22)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_resnext50_unet_logit_parity(rng):
+    torch.manual_seed(13)
+    tm = _randomize_bn(torch_ref.ResNeXt50Unet(in_channels=5, classes=4))
+    x = rng.standard_normal((1, 64, 64, 5), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert.torch_to_flax(convert.normalize_keys(sd))
+    fm = FlairSegmentationModel(encoder_name="resnext50_32x4d", arch="unet",
+                                classes=4, dtype=jnp.float32)
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert got.shape == want.shape == (1, 4, 64, 64)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_underscore_encoder_dispatch():
+    cfg = {"model_framework": {
+        "model_provider": "SegmentationModelsPytorch",
+        "SegmentationModelsPytorch": {"encoder_decoder": "resnext50_32x4d_unet"}},
+        "n_classes": 19, "channels": [1, 2, 3, 4, 5]}
+    m = create_model(cfg)
+    assert m.encoder_name == "resnext50_32x4d" and m.arch == "unet"

@@ -550,3 +550,83 @@ class ResNet34DeepLabV3(nn.Module):
     def forward(self, x):
         feats = self.encoder(x)
         return self.segmentation_head(self.decoder(feats[-1]))
+
+
+# ---------------------------------------------------------------------------
+# torchvision Bottleneck / ResNeXt encoder mirror (smp resnext50_32x4d etc.)
+# ---------------------------------------------------------------------------
+
+class Bottleneck(nn.Module):
+    def __init__(self, in_ch, planes, stride=1, groups=1, base_width=64):
+        super().__init__()
+        width = int(planes * base_width / 64) * groups
+        self.conv1 = nn.Conv2d(in_ch, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, groups=groups,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or in_ch != planes * 4:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_ch, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + identity)
+
+
+class BottleneckEncoder(nn.Module):
+    """torchvision bottleneck-family encoder (resnet50/101/152, resnext)."""
+
+    def __init__(self, in_channels, units=(3, 4, 6, 3), groups=1,
+                 base_width=64):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+
+        def stage(in_ch, planes, n, stride):
+            blocks = [Bottleneck(in_ch, planes, stride, groups, base_width)]
+            blocks += [Bottleneck(planes * 4, planes, 1, groups, base_width)
+                       for _ in range(n - 1)]
+            return nn.Sequential(*blocks)
+
+        self.layer1 = stage(64, 64, units[0], 1)
+        self.layer2 = stage(256, 128, units[1], 2)
+        self.layer3 = stage(512, 256, units[2], 2)
+        self.layer4 = stage(1024, 512, units[3], 2)
+
+    def forward(self, x):
+        feats = [x]
+        x = self.relu(self.bn1(self.conv1(x)))
+        feats.append(x)
+        x = self.layer1(self.maxpool(x))
+        feats.append(x)
+        for layer in (self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+            feats.append(x)
+        return feats
+
+
+class ResNeXt50Unet(nn.Module):
+    """smp.create_model('unet', 'resnext50_32x4d', ...) mirror."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = BottleneckEncoder(in_channels, (3, 4, 6, 3),
+                                         groups=32, base_width=4)
+        self.decoder = UnetDecoder(encoder_channels=(64, 256, 512, 1024, 2048))
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(16, classes, 3, padding=1))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
