@@ -12,8 +12,12 @@ what stitching needs:
   device-resident zone accumulator (overlap stitching without the reference's
   raster read-back, compare.py:106-108).
 
-Both have a Pallas TPU kernel and a pure-jnp fallback (used on CPU and as the
-parity oracle in tests). ``FLAIRTPU_NO_PALLAS=1`` forces the fallback.
+softmax_argmax has a Pallas TPU kernel with a pure-jnp fallback (used on CPU
+and as the parity oracle in tests); ``FLAIRTPU_NO_PALLAS=1`` forces the
+fallback. scatter_accumulate compiles to a sequential DMA loop via
+lax.scan + dynamic_update_slice — benchmarks/zone_movement_floor.py measures
+the whole gather+scatter side of the zone program at a few percent of device
+compute, so a hand-written Pallas scatter has nothing meaningful to win.
 """
 
 from __future__ import annotations

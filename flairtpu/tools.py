@@ -145,6 +145,18 @@ def main(argv=None):
     p.add_argument("--val", type=int, default=8)
     p.add_argument("--test", type=int, default=8)
     p.add_argument("--seed", type=int, default=2022)
+    x = sub.add_parser("export-model",
+                       help="AOT-export the serving forward as StableHLO "
+                            "(jax.export) with weights baked in")
+    x.add_argument("--conf", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--weights", default=None,
+                   help=".msgpack / .pth / .ckpt (default: random init)")
+    x.add_argument("--payload", choices=["logits", "argmax"], default="logits")
+    x.add_argument("--margin", type=int, default=0,
+                   help="crop this margin from the logits (zone payload)")
+    x.add_argument("--platforms", default=None,
+                   help="comma list, e.g. tpu,cpu (default: current backend)")
     c = sub.add_parser("convert-weights",
                        help="convert a torch .pth/.ckpt to native .msgpack")
     c.add_argument("src")
@@ -152,7 +164,18 @@ def main(argv=None):
     c.add_argument("--conf", default=None,
                    help="YAML config to strict-validate the checkpoint against")
     args = parser.parse_args(argv)
-    if args.cmd == "make-toy-dataset":
+    if args.cmd == "export-model":
+        from flairtpu import config as cfgmod
+        from flairtpu.serving import export_model
+
+        cfg = cfgmod.read_config(args.conf)
+        platforms = tuple(args.platforms.split(",")) if args.platforms else None
+        out = export_model(cfg, args.out, weights=args.weights,
+                           payload=args.payload, margin=args.margin,
+                           platforms=platforms)
+        print(f"    [x] exported serving artifact: {out} "
+              f"({out.stat().st_size / 1e6:.1f} MB)")
+    elif args.cmd == "make-toy-dataset":
         make_toy_dataset(Path(args.root), args.train, args.val, args.test,
                          args.size, args.classes, args.channels, args.seed)
     elif args.cmd == "convert-weights":
