@@ -6,6 +6,15 @@ scatter shapes, trivial per-tile payload). The difference is conv compute;
 the no-model time is the data-movement floor that a custom Pallas
 gather/scatter kernel could at best eliminate. Run on the TPU.
 
+Timing methodology (tunnel hazard, see CLAUDE.md): jax.block_until_ready
+can return EARLY on the tunneled backend, and every real fetch carries
+seconds of fixed latency. The floor is therefore measured by chaining
+data-dependent calls (output planes feed the next call), forcing completion
+with one scalar D2H fetch, and differencing two chain lengths so the fixed
+fetch latency cancels. Measured on the v5e chip: 3.2 ms/zone (256 tiles,
+batch 128) = ~1.3% of the 242 ms device compute — a hand-written Pallas
+gather/scatter has nothing meaningful to win.
+
 Usage: python benchmarks/zone_movement_floor.py [--batch 128]
 """
 
@@ -95,7 +104,7 @@ def main() -> None:
     inner = inner.reshape(-1, B, 2).astype(np.int32)
 
     @jax.jit
-    def floor_prog(zone, org_b, inner_b):
+    def floor_prog(planes, zone, org_b, inner_b):
         def step(carry, batch):
             cls_plane, prob_plane = carry
             org, ipos = batch
@@ -103,7 +112,9 @@ def main() -> None:
                 lambda o: jax.lax.dynamic_slice(zone, (o[0], o[1], 0),
                                                 (S, S, 5)))(org)
             crop = tiles_u8[:, m:S - m, m:S - m, :]
-            cls, prob = crop[..., 0], crop[..., 1]
+            # xor with a carry pixel: makes each chained call depend on the
+            # previous output so calls cannot be reordered/elided
+            cls, prob = crop[..., 0] ^ cls_plane[0, 0], crop[..., 1]
 
             def put(c, t):
                 cp, pp = c
@@ -116,23 +127,29 @@ def main() -> None:
                 put, (cls_plane, prob_plane), (cls, prob, ipos))
             return (cls_plane, prob_plane), None
 
-        init = (jnp.zeros((ZONE, ZONE), jnp.uint8),
-                jnp.zeros((ZONE, ZONE), jnp.uint8))
-        (cp, pp), _ = jax.lax.scan(step, init, (org_b, inner_b))
+        (cp, pp), _ = jax.lax.scan(step, planes, (org_b, inner_b))
         return cp, pp
 
     zone_dev = jax.device_put(zone_pad)
     org_dev = jax.device_put(origins)
     inner_dev = jax.device_put(inner)
-    jax.block_until_ready(zone_dev)
-    out2 = floor_prog(zone_dev, org_dev, inner_dev)
-    jax.block_until_ready(out2)
-    t0 = time.perf_counter()
-    out2 = floor_prog(zone_dev, org_dev, inner_dev)
-    jax.block_until_ready(out2)
-    dt_floor = time.perf_counter() - t0
+
+    def chain(n):
+        """n chained floor calls, completion forced by a scalar D2H fetch;
+        returns wall seconds (includes one fixed tunnel fetch latency)."""
+        planes = (jnp.zeros((ZONE, ZONE), jnp.uint8),
+                  jnp.zeros((ZONE, ZONE), jnp.uint8))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            planes = floor_prog(planes, zone_dev, org_dev, inner_dev)
+        np.asarray(jnp.sum(planes[0].astype(jnp.int32)))
+        return time.perf_counter() - t0
+
+    chain(1)  # compile + warm
+    n1, n2 = 2, 10
+    dt_floor = min((chain(n2) - chain(n1)) / (n2 - n1) for _ in range(3))
     base = compute or dt_full
-    print(f"gather+scatter floor (no model, device-resident): "
+    print(f"gather+scatter floor (no model, device-resident, chained diff): "
           f"{dt_floor * 1000:.1f} ms = {100 * dt_floor / base:.1f}% of device compute")
     print(f"-> upper bound on any Pallas gather/scatter win: "
           f"{dt_floor * 1000:.1f} ms/zone")
