@@ -285,7 +285,14 @@ def _put_convmodule(params, stats, base, rest, arr):
 
 
 def hf_beit_torch_to_flax(sd: dict[str, np.ndarray]) -> dict:
-    """transformers BeitForSemanticSegmentation state dict -> Flax variables."""
+    """transformers BeitForSemanticSegmentation state dict -> Flax variables.
+
+    Also accepts Data2VecVisionForSemanticSegmentation checkpoints: the
+    transformers module is a verbatim architectural twin of BEiT (modules
+    copied via ``# Copied from ...Beit``), differing only in the
+    ``data2vec_vision.`` key prefix, which is normalized to ``beit.`` here.
+    """
+    sd = {k.replace("data2vec_vision.", "beit.", 1): v for k, v in sd.items()}
     params: dict = {}
     stats: dict = {}
 

@@ -370,6 +370,12 @@ def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
         from flairtpu.models.swin_upernet import hf_upernet_torch_to_flax
 
         return hf_upernet_torch_to_flax(dict(sd))
+    if any(k.startswith(("beit.", "data2vec_vision.")) for k in sd):
+        # BEiT/Data2Vec-Vision checkpoints also carry decode_head.* keys, so
+        # this branch must precede the SegFormer check below.
+        from flairtpu.models.beit_upernet import hf_beit_torch_to_flax
+
+        return hf_beit_torch_to_flax(dict(sd))
     if any(k.startswith(("segformer.", "decode_head.")) for k in sd):
         from flairtpu.models.segformer import hf_torch_to_flax
 

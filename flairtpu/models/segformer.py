@@ -208,16 +208,18 @@ def create_hf_model(org_model: str, n_classes: int, dtype):
     name = org_model.lower()
     sw = _SWIN_RE.search(name)
     cn = _CONVNEXT_RE.search(name)
-    if "beit" in name:
-        import re
-
+    if "beit" in name or "data2vec" in name:
+        # Data2Vec-Vision is an architectural twin of BEiT in transformers
+        # (modeling_data2vec_vision.py is copied module-for-module from
+        # modeling_beit.py), so both map onto BeitUperNet.
         from flairtpu.models.beit_upernet import BeitUperNet
 
-        bm = re.search(r"beit-(base|large)", name)
+        bm = re.search(r"(?:beit|data2vec-vision)-(base|large)", name)
         if not bm:
             raise NotImplementedError(
                 f"BEiT size in {org_model!r} is not ported (supported: "
-                "beit-base, beit-large, e.g. microsoft/beit-base-finetuned-ade-640-640).")
+                "beit-base, beit-large, data2vec-vision-base/large, e.g. "
+                "microsoft/beit-base-finetuned-ade-640-640).")
         return BeitUperNet(spec=bm.group(1), classes=n_classes, dtype=dtype)
     if "upernet" in name or sw or cn:
         if sw:
@@ -238,8 +240,9 @@ def create_hf_model(org_model: str, n_classes: int, dtype):
             f"HuggingFace model {org_model!r} is not in the ported TPU-native zoo. "
             "Supported: SegFormer (nvidia/segformer-b0..b5, nvidia/mit-b0..b5), "
             "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large), "
-            "UperNet-ConvNeXt (openmmlab/upernet-convnext-*) and BEiT "
-            "(microsoft/beit-base/large-finetuned-ade-*). For ResNet-U-Net use "
+            "UperNet-ConvNeXt (openmmlab/upernet-convnext-*), BEiT "
+            "(microsoft/beit-base/large-finetuned-ade-*) and Data2Vec-Vision "
+            "(facebook/data2vec-vision-base/large). For ResNet-U-Net use "
             "the SegmentationModelsPytorch provider.")
     return SegformerModel(spec=m.group(1), classes=n_classes, dtype=dtype)
 

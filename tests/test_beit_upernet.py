@@ -123,3 +123,71 @@ def test_beit_factory_dispatch():
     m = create_model(cfg)
     assert isinstance(m, BeitUperNet)
     assert m.spec == "base" and m.classes == 19
+
+
+def test_any_state_dict_routes_beit(torch_beit):
+    """Regression: BEiT checkpoints carry decode_head.* keys, which used to be
+    mis-dispatched to the SegFormer converter by any_state_dict_to_flax."""
+    from flairtpu.models.convert import any_state_dict_to_flax
+
+    sd = {k: v.numpy() for k, v in torch_beit.state_dict().items()}
+    want = hf_beit_torch_to_flax(dict(sd))
+    got = any_state_dict_to_flax(sd)
+    assert set(got["params"]) == set(want["params"])
+    assert "backbone" in got["params"]  # beit layout, not segformer's
+
+
+def test_data2vec_vision_parity(rng):
+    """Data2Vec-Vision == BEiT modulo the data2vec_vision. key prefix
+    (transformers modeling_data2vec_vision.py is copied from modeling_beit.py);
+    full logit parity through the shared BeitUperNet port."""
+    from transformers import (Data2VecVisionConfig,
+                              Data2VecVisionForSemanticSegmentation)
+
+    torch.manual_seed(1)
+    cfg = Data2VecVisionConfig(
+        image_size=64, patch_size=16, num_channels=5,
+        hidden_size=CFG["hidden"], num_hidden_layers=CFG["layers"],
+        num_attention_heads=CFG["heads"], intermediate_size=CFG["intermediate"],
+        out_indices=list(CFG["out_indices"]),
+        use_relative_position_bias=True, layer_scale_init_value=0.1,
+        use_auxiliary_head=True, auxiliary_channels=32,
+        num_labels=7, drop_path_rate=0.0,
+        attn_implementation="eager",
+    )
+    tm = Data2VecVisionForSemanticSegmentation(cfg)
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if "relative_position_bias_table" in name or "cls_token" in name:
+                p.uniform_(-0.2, 0.2)
+    tm.eval()
+
+    x = rng.standard_normal((1, 64, 64, 5), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).logits.numpy()
+
+    from flairtpu.models.convert import any_state_dict_to_flax
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    assert any(k.startswith("data2vec_vision.") for k in sd)
+    variables = any_state_dict_to_flax(sd)
+    model = BeitUperNet(spec="base", classes=7, trained_window=4,
+                        aux_channels=32, **CFG)
+    got = model.apply(variables, jnp.asarray(x), train=False)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    want_up = torch.nn.functional.interpolate(
+        torch.from_numpy(want), size=(64, 64), mode="bilinear",
+        align_corners=False).numpy()
+    np.testing.assert_allclose(got, want_up, atol=5e-4, rtol=1e-3)
+
+
+def test_data2vec_factory_dispatch():
+    from flairtpu.models.factory import create_model
+
+    cfg = {"model_framework": {
+        "model_provider": "HuggingFace",
+        "HuggingFace": {"org_model": "facebook/data2vec-vision-base"}},
+        "n_classes": 5, "channels": [1, 2, 3]}
+    m = create_model(cfg)
+    assert isinstance(m, BeitUperNet)
+    assert m.spec == "base" and m.classes == 5
