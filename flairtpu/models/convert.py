@@ -370,6 +370,14 @@ def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
         from flairtpu.models.swin_upernet import hf_upernet_torch_to_flax
 
         return hf_upernet_torch_to_flax(dict(sd))
+    if any(k.startswith("mobilenet_v2.") for k in sd):
+        from flairtpu.models.mobilenet_v2 import hf_mobilenet_v2_torch_to_flax
+
+        return hf_mobilenet_v2_torch_to_flax(dict(sd))
+    if any(k.startswith("mobilevit.") for k in sd):
+        from flairtpu.models.mobilevit import hf_mobilevit_torch_to_flax
+
+        return hf_mobilevit_torch_to_flax(dict(sd))
     if any(k.startswith(("beit.", "data2vec_vision.")) for k in sd):
         # BEiT/Data2Vec-Vision checkpoints also carry decode_head.* keys, so
         # this branch must precede the SegFormer check below.

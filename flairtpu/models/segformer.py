@@ -208,6 +208,23 @@ def create_hf_model(org_model: str, n_classes: int, dtype):
     name = org_model.lower()
     sw = _SWIN_RE.search(name)
     cn = _CONVNEXT_RE.search(name)
+    if "mobilenet_v2" in name or "mobilenet-v2" in name:
+        from flairtpu.models.mobilenet_v2 import MobileNetV2Seg
+
+        dm = re.search(r"_(\d+\.\d+)_", name)  # google/deeplabv3_mobilenet_v2_1.0_513
+        return MobileNetV2Seg(classes=n_classes,
+                              depth_multiplier=float(dm.group(1)) if dm else 1.0,
+                              dtype=dtype)
+    if "mobilevit" in name:
+        from flairtpu.models.mobilevit import MOBILEVIT_SPECS, MobileViTSeg
+
+        mv = re.search(r"mobilevit-(xx-small|x-small|small)", name)
+        if not mv:
+            raise NotImplementedError(
+                f"MobileViT size in {org_model!r} is not ported (supported: "
+                "small, x-small, xx-small, e.g. apple/deeplabv3-mobilevit-small).")
+        assert mv.group(1) in MOBILEVIT_SPECS
+        return MobileViTSeg(spec=mv.group(1), classes=n_classes, dtype=dtype)
     if "beit" in name or "data2vec" in name:
         # Data2Vec-Vision is an architectural twin of BEiT in transformers
         # (modeling_data2vec_vision.py is copied module-for-module from
