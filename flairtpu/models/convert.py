@@ -370,6 +370,10 @@ def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
         from flairtpu.models.swin_upernet import hf_upernet_torch_to_flax
 
         return hf_upernet_torch_to_flax(dict(sd))
+    if any(k.startswith("dpt.") for k in sd):
+        from flairtpu.models.dpt import hf_dpt_torch_to_flax
+
+        return hf_dpt_torch_to_flax(dict(sd))
     if any(k.startswith("mobilenet_v2.") for k in sd):
         from flairtpu.models.mobilenet_v2 import hf_mobilenet_v2_torch_to_flax
 

@@ -1,0 +1,357 @@
+"""Flax DPT (Dense Prediction Transformer) semantic segmentation.
+
+TPU-native port of transformers' ``DPTForSemanticSegmentation``
+(modeling_dpt.py: DPTViTEmbeddings/Encoder, DPTReassembleStage, DPTNeck,
+DPTFeatureFusionStage, DPTSemanticSegmentationHead) — the
+``Intel/dpt-large-ade`` checkpoints. Completes the
+``AutoModelForSemanticSegmentation`` registry coverage for the reference
+HuggingFace provider (src/flair/model.py:43-50). The plain-ViT (non-hybrid)
+variant only; ``is_hybrid`` (BiT-backbone) checkpoints raise clearly.
+
+Numerics mirrored from the torch implementation:
+- ViT backbone: 16x16 patch conv, cls token, bilinearly resized position
+  embeddings (align_corners=False) for non-trained input sizes, pre-LN
+  encoder (eps 1e-12), exact GELU; taps raw layer outputs at
+  ``backbone_out_indices`` (before the final model layernorm, which the
+  seg path never applies);
+- reassemble: per stage, readout "project" (concat cls token to every
+  patch token -> Linear 2C->C -> GELU), 1x1 conv to the stage width, then
+  resize by factor 4/2 (stride-f transpose conv), 1 (identity) or 0.5
+  (3x3 stride-2 conv);
+- neck: 3x3 bias-free convs to ``fusion_hidden_size`` then a top-down
+  fusion ladder of pre-activation residual units, each step bilinearly
+  upsampled 2x with *align_corners=True* and 1x1-projected;
+- head: 3x3 conv (no bias) -> BN -> ReLU -> 1x1 classifier -> 2x
+  align_corners=True upsample, which lands exactly at input resolution
+  (the fusion ladder ends at stride 2), so no extra resize is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from flairtpu.models.deeplab import upsample_align_corners
+from flairtpu.models.swin_upernet import _conv_w, _put, _resize
+
+DPT_SPECS = {
+    # ViT-B/L geometry + DPT neck widths (configuration_dpt.py defaults and
+    # the Intel/dpt-large-ade release)
+    "base": dict(hidden=768, layers=12, heads=12, intermediate=3072,
+                 out_indices=(2, 5, 8, 11), neck=(96, 192, 384, 768)),
+    "large": dict(hidden=1024, layers=24, heads=16, intermediate=4096,
+                  out_indices=(5, 11, 17, 23), neck=(256, 512, 1024, 1024)),
+}
+
+_LN_EPS = 1e-12  # config.layer_norm_eps
+_FACTORS = (4, 2, 1, 0.5)  # config.reassemble_factors
+
+
+class ViTLayer(nn.Module):
+    """Standard pre-LN ViT block (DPTViTLayer)."""
+
+    dim: int
+    heads: int
+    intermediate: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, N, C)
+        dense = lambda n, f: nn.Dense(f, dtype=self.dtype,
+                                      param_dtype=jnp.float32, name=n)
+        ln = lambda n: nn.LayerNorm(epsilon=_LN_EPS, dtype=jnp.float32,
+                                    param_dtype=jnp.float32, name=n)
+        head_dim = self.dim // self.heads
+        y = ln("ln1")(x).astype(self.dtype)
+        B, N, _ = y.shape
+        q = dense("q", self.dim)(y).reshape(B, N, self.heads, head_dim)
+        k = dense("k", self.dim)(y).reshape(B, N, self.heads, head_dim)
+        v = dense("v", self.dim)(y).reshape(B, N, self.heads, head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(head_dim)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, self.dim)
+        x = x + dense("proj", self.dim)(y)
+        y = ln("ln2")(x).astype(self.dtype)
+        y = jax.nn.gelu(dense("fc1", self.intermediate)(y), approximate=False)
+        return x + dense("fc2", self.dim)(y)
+
+
+class TransposeConvN(nn.Module):
+    """torch ConvTranspose2d(kernel=f, stride=f) exact equivalent."""
+
+    features: int
+    factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        f = self.factor
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (f, f, C, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = jnp.einsum("bhwc,pqcd->bhpwqd", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        y = y.reshape(B, f * H, f * W, self.features)
+        return y + bias.astype(y.dtype)
+
+
+class PreActResidual(nn.Module):
+    """DPTPreActResidualLayer: relu -> 3x3 -> relu -> 3x3 (+ residual)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        conv = lambda n: nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                                 use_bias=True, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name=n)
+        y = conv("conv1")(jax.nn.relu(x.astype(self.dtype)))
+        y = conv("conv2")(jax.nn.relu(y))
+        return x + y
+
+
+class DPTSeg(nn.Module):
+    """DPTForSemanticSegmentation (non-hybrid ViT backbone)."""
+
+    spec: str = "large"
+    classes: int = 13
+    use_metadata: bool = False  # HF provider has no metadata path
+    patch: int = 16
+    trained_grid: int = 24  # image_size // patch (384 default; pos embed
+    #                         is resized for other input sizes, like torch)
+    fusion_dim: int = 256
+    dtype: Any = jnp.float32
+    # tiny-config overrides for tests
+    hidden: int | None = None
+    layers: int | None = None
+    heads: int | None = None
+    intermediate: int | None = None
+    out_indices: tuple[int, ...] | None = None
+    neck: tuple[int, ...] | None = None
+
+    def _cfg(self):
+        cfg = dict(DPT_SPECS[self.spec]) if self.spec in DPT_SPECS else {}
+        for k in ("hidden", "layers", "heads", "intermediate", "out_indices",
+                  "neck"):
+            if getattr(self, k) is not None:
+                cfg[k] = getattr(self, k)
+        return cfg
+
+    @nn.compact
+    def __call__(self, x, mtd=None, train: bool = False) -> jax.Array:
+        del mtd
+        cfg = self._cfg()
+        C = cfg["hidden"]
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch, W // self.patch
+
+        # --- ViT backbone (DPTViTEmbeddings + DPTViTEncoder) ---
+        y = nn.Conv(C, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="patch_embed")(
+            x.astype(self.dtype))
+        y = y.reshape(B, gh * gw, C)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C),
+                         jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, self.trained_grid * self.trained_grid + 1, C),
+                         jnp.float32)
+        if (gh, gw) != (self.trained_grid, self.trained_grid):
+            g = self.trained_grid
+            grid = _resize(pos[:, 1:].reshape(1, g, g, C), (gh, gw))
+            pos = jnp.concatenate([pos[:, :1], grid.reshape(1, gh * gw, C)],
+                                  axis=1)
+        y = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, C)).astype(y.dtype),
+                             y], axis=1)
+        y = y + pos.astype(y.dtype)
+
+        taps = {}
+        for i in range(cfg["layers"]):
+            y = ViTLayer(C, cfg["heads"], cfg["intermediate"],
+                         dtype=self.dtype, name=f"layer{i}")(y)
+            if i in cfg["out_indices"]:
+                taps[i] = y
+        # (the checkpoint's final model layernorm is not applied on this path)
+
+        # --- reassemble + neck convs (DPTReassembleStage, DPTNeck.convs) ---
+        feats = []
+        for s, i in enumerate(sorted(taps)):
+            t = taps[i]
+            cls_tok, tokens = t[:, :1], t[:, 1:]
+            readout = jnp.concatenate(
+                [tokens, jnp.broadcast_to(cls_tok, tokens.shape)], axis=-1)
+            t = jax.nn.gelu(
+                nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"readout{s}")(readout), approximate=False)
+            t = t.reshape(B, gh, gw, C)
+            t = nn.Conv(cfg["neck"][s], (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"reassemble{s}_proj")(t)
+            f = _FACTORS[s]
+            if f > 1:
+                t = TransposeConvN(cfg["neck"][s], int(f), dtype=self.dtype,
+                                   name=f"reassemble{s}_resize")(t)
+            elif f < 1:
+                t = nn.Conv(cfg["neck"][s], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name=f"reassemble{s}_resize")(t)
+            t = nn.Conv(self.fusion_dim, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"neck_conv{s}")(t)
+            feats.append(t)
+
+        # --- fusion ladder (DPTFeatureFusionStage), deepest first ---
+        fused = None
+        for j, t in enumerate(reversed(feats)):
+            if fused is None:
+                fused = t
+            else:
+                r = PreActResidual(self.fusion_dim, dtype=self.dtype,
+                                   name=f"fusion{j}_res1")(t)
+                if fused.shape != r.shape:
+                    fused = _resize(fused, r.shape[1:3])
+                fused = fused + r
+            fused = PreActResidual(self.fusion_dim, dtype=self.dtype,
+                                   name=f"fusion{j}_res2")(fused)
+            Fh, Fw = fused.shape[1:3]
+            fused = upsample_align_corners(fused, (2 * Fh, 2 * Fw))
+            fused = nn.Conv(self.fusion_dim, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name=f"fusion{j}_proj")(fused)
+
+        # --- segmentation head (DPTSemanticSegmentationHead) ---
+        y = nn.Conv(self.fusion_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="head_conv")(fused)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head_bn")(y)
+        y = jax.nn.relu(y)
+        logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="classifier")(y)
+        logits = upsample_align_corners(logits.astype(jnp.float32),
+                                        (2 * logits.shape[1],
+                                         2 * logits.shape[2]))
+        if logits.shape[1:3] != (H, W):
+            logits = _resize(logits, (H, W))
+        return logits
+
+
+# ---------------------------------------------------------------------------
+# transformers DPTForSemanticSegmentation state dict -> Flax variables
+# ---------------------------------------------------------------------------
+
+def hf_dpt_torch_to_flax(sd: dict[str, np.ndarray]) -> dict:
+    """Key-exact converter (non-hybrid DPTForSemanticSegmentation layout)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def tconv_w(a):  # ConvTranspose2d (in, out, kh, kw) -> (kh, kw, in, out)
+        return np.transpose(a, (2, 3, 0, 1))
+
+    def dense(base, leaf, arr):
+        _put(params, base + ("kernel" if leaf == "weight" else "bias",),
+             arr.T if leaf == "weight" else arr)
+
+    def conv(base, leaf, arr):
+        _put(params, base + ("kernel" if leaf == "weight" else "bias",),
+             _conv_w(arr) if leaf == "weight" else arr)
+
+    for key, arr in sd.items():
+        arr = np.asarray(arr)
+        parts = key.split(".")
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key == "dpt.embeddings.cls_token":
+            _put(params, ("cls_token",), arr)
+            continue
+        if key == "dpt.embeddings.position_embeddings":
+            _put(params, ("pos_embed",), arr)
+            continue
+        if key.startswith("dpt.embeddings.patch_embeddings.projection."):
+            conv(("patch_embed",), parts[-1], arr)
+            continue
+        if key.startswith("dpt.encoder.layer."):
+            i, rest = parts[3], parts[4:]
+            base = (f"layer{i}",)
+            if rest[0] == "layernorm_before":
+                _put(params, base + ("ln1",
+                                     "scale" if rest[1] == "weight" else "bias"), arr)
+            elif rest[0] == "layernorm_after":
+                _put(params, base + ("ln2",
+                                     "scale" if rest[1] == "weight" else "bias"), arr)
+            elif rest[:2] == ["attention", "attention"]:
+                dense(base + (rest[2][0],), rest[3], arr)  # query/key/value
+            elif rest[:2] == ["attention", "output"]:
+                dense(base + ("proj",), rest[3], arr)
+            elif rest[0] == "intermediate":
+                dense(base + ("fc1",), rest[2], arr)
+            elif rest[0] == "output":
+                dense(base + ("fc2",), rest[2], arr)
+            else:
+                raise KeyError(f"unrecognized dpt encoder key {key!r}")
+            continue
+        if key.startswith("dpt.layernorm."):
+            continue  # final model LN; unused by the segmentation path
+        if key.startswith("dpt.pooler."):
+            continue  # pooling head; unused
+        if key.startswith("neck.reassemble_stage.readout_projects."):
+            dense((f"readout{parts[3]}",), parts[-1], arr)
+            continue
+        if key.startswith("neck.reassemble_stage.layers."):
+            s, rest = int(parts[3]), parts[4:]
+            if rest[0] == "projection":
+                conv((f"reassemble{s}_proj",), rest[1], arr)
+            elif rest[0] == "resize":
+                if _FACTORS[s] > 1:  # ConvTranspose2d
+                    _put(params, (f"reassemble{s}_resize",
+                                  "kernel" if rest[1] == "weight" else "bias"),
+                         tconv_w(arr) if rest[1] == "weight" else arr)
+                else:  # stride-2 Conv2d
+                    conv((f"reassemble{s}_resize",), rest[1], arr)
+            else:
+                raise KeyError(f"unrecognized reassemble key {key!r}")
+            continue
+        if key.startswith("neck.convs."):
+            conv((f"neck_conv{parts[2]}",), parts[3], arr)
+            continue
+        if key.startswith("neck.fusion_stage.layers."):
+            j, rest = int(parts[3]), parts[4:]
+            if rest[0] == "projection":
+                conv((f"fusion{j}_proj",), rest[1], arr)
+            elif rest[0] in ("residual_layer1", "residual_layer2"):
+                if j == 0 and rest[0] == "residual_layer1":
+                    continue  # first fusion layer has no residual input
+                sub = "res1" if rest[0] == "residual_layer1" else "res2"
+                conv((f"fusion{j}_{sub}", rest[1].replace("olution", "")),
+                     rest[2], arr)
+            else:
+                raise KeyError(f"unrecognized fusion key {key!r}")
+            continue
+        if key.startswith("head.head."):
+            idx, leaf = parts[2], parts[3]
+            if idx == "0":
+                conv(("head_conv",), leaf, arr)
+            elif idx == "1":
+                tgt = {"weight": ("scale", params), "bias": ("bias", params),
+                       "running_mean": ("mean", stats),
+                       "running_var": ("var", stats)}
+                name, tree = tgt[leaf]
+                _put(tree, ("head_bn", name), arr)
+            elif idx == "4":
+                conv(("classifier",), leaf, arr)
+            else:
+                raise KeyError(f"unrecognized head key {key!r}")
+            continue
+        if key.startswith("auxiliary_head."):
+            continue  # aux head only contributes to torch training loss
+        raise KeyError(f"unrecognized dpt checkpoint key {key!r}")
+
+    return {"params": params, "batch_stats": stats}

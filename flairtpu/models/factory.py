@@ -8,12 +8,16 @@ Provider dispatch mirrors the reference FLAIR_ModelFactory
   deeplabv3plus, deeplabv3, fpn, pspnet, linknet) over the resnet encoder
   family, weight-compatible with the published FLAIR-INC ``.pth``
   checkpoints via :mod:`flairtpu.models.convert`.
-- ``HuggingFace`` -> first-party Flax ports dispatched by org model name:
-  SegFormer b0-b5 (``nvidia/segformer*``), Swin-UperNet
-  (``openmmlab/upernet-swin-*``, the reference default), ConvNeXt-UperNet
-  (``openmmlab/upernet-convnext-*``) and BEiT-UperNet
-  (``openmmlab/upernet-beit-*``); unsupported org models raise with a
-  clear message listing the supported families.
+- ``HuggingFace`` -> first-party Flax ports dispatched by org model name,
+  covering the entire transformers ``AutoModelForSemanticSegmentation``
+  registry the reference can load (model.py:43-50): SegFormer b0-b5
+  (``nvidia/segformer*``), Swin-UperNet (``openmmlab/upernet-swin-*``, the
+  reference default), ConvNeXt-UperNet (``openmmlab/upernet-convnext-*``),
+  BEiT-UperNet (``microsoft/beit-*``), Data2Vec-Vision
+  (``facebook/data2vec-vision-*``), DPT (``Intel/dpt-large-ade``),
+  MobileViT (``apple/deeplabv3-mobilevit-*``) and MobileNetV2
+  (``google/deeplabv3_mobilenet_v2_*``); unsupported org models raise
+  with a clear message listing the supported families.
 
 The returned module computes in ``dtype`` (bf16 by default on TPU for MXU
 throughput) with fp32 parameters and fp32 logits.

@@ -208,6 +208,21 @@ def create_hf_model(org_model: str, n_classes: int, dtype):
     name = org_model.lower()
     sw = _SWIN_RE.search(name)
     cn = _CONVNEXT_RE.search(name)
+    if "dpt" in name:
+        from flairtpu.models.dpt import DPTSeg
+
+        if "hybrid" in name:
+            raise NotImplementedError(
+                f"{org_model!r}: only plain-ViT DPT is ported (the hybrid "
+                "BiT-backbone variant is not; use Intel/dpt-large-ade).")
+        dm = re.search(r"dpt-(base|large)", name)
+        if not dm:
+            raise NotImplementedError(
+                f"DPT size in {org_model!r} is not ported (supported: "
+                "dpt-base, dpt-large, e.g. Intel/dpt-large-ade).")
+        # the ADE seg release was trained at 480^2 (grid 30); others at 384^2
+        return DPTSeg(spec=dm.group(1), classes=n_classes,
+                      trained_grid=30 if "ade" in name else 24, dtype=dtype)
     if "mobilenet_v2" in name or "mobilenet-v2" in name:
         from flairtpu.models.mobilenet_v2 import MobileNetV2Seg
 
@@ -258,8 +273,10 @@ def create_hf_model(org_model: str, n_classes: int, dtype):
             "Supported: SegFormer (nvidia/segformer-b0..b5, nvidia/mit-b0..b5), "
             "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large), "
             "UperNet-ConvNeXt (openmmlab/upernet-convnext-*), BEiT "
-            "(microsoft/beit-base/large-finetuned-ade-*) and Data2Vec-Vision "
-            "(facebook/data2vec-vision-base/large). For ResNet-U-Net use "
+            "(microsoft/beit-base/large-finetuned-ade-*), Data2Vec-Vision "
+            "(facebook/data2vec-vision-base/large), DPT (Intel/dpt-large-ade), "
+            "MobileViT (apple/deeplabv3-mobilevit-*) and MobileNetV2 "
+            "(google/deeplabv3_mobilenet_v2_*). For ResNet-U-Net use "
             "the SegmentationModelsPytorch provider.")
     return SegformerModel(spec=m.group(1), classes=n_classes, dtype=dtype)
 
