@@ -9,7 +9,7 @@ IGN FLAIR-1 baseline (reference: Draghoyns/FLAIR-1):
   georeferenced TIFFs with overlap-margin stitching.
 
 Compute runs through XLA:TPU (jit/pjit over a device mesh, bf16 on the
-MXU, Pallas kernels for the fused zone-detect hot path); raster I/O is a
+MXU, fused XLA zone-detect hot path — custom Pallas kernels were benchmarked and lost to the compiler, see PERFORMANCE.md); raster I/O is a
 first-party GeoTIFF codec (pure Python + native C++ fast paths) since the
 framework does not depend on GDAL.
 """

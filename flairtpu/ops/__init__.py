@@ -1,1 +1,1 @@
-"""Device compute ops: Pallas kernels + XLA building blocks for the hot paths."""
+"""Device compute ops: fused XLA building blocks for the hot paths."""

@@ -4,7 +4,7 @@ The flagship fast path (BASELINE.json north star: "fused tile-gather ->
 batched forward -> weighted-blend scatter"). The whole zone raster is uploaded
 to HBM once (uint8, margin-padded), a single jitted program lax.scans over
 tile batches — dynamic-slice gather, normalize, bf16 U-Net forward, fused
-softmax/argmax (Pallas), dynamic-update-slice stitch into device-resident
+softmax/argmax (fused XLA), dynamic-update-slice stitch into device-resident
 output planes — and the stitched planes come back in ONE device-to-host
 transfer.
 

@@ -7,7 +7,7 @@ write per patch) as a TPU pipeline:
 - host reader threads decode tile windows from the first-party TIFF codec
   (thread-safe block cache shares decodes between overlapping tiles);
 - one jitted device program per payload kind fuses normalize -> encoder/decoder
-  forward (bf16 on the MXU) -> margin crop -> softmax/argmax/confidence (Pallas
+  forward (bf16 on the MXU) -> margin crop -> softmax/argmax/confidence (fused XLA
   on TPU) -> uint8 pack, so the D2H transfer is 2 uint8 planes per tile
   instead of K float32 planes;
 - batches are real batches with a padded tail (one compiled shape);
