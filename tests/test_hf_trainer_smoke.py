@@ -10,6 +10,8 @@ from flairtpu.train.loop import SegmentationTrainer
 @pytest.mark.parametrize("org_model", [
     "nvidia/segformer-b0-finetuned-ade-512-512",
     "openmmlab/upernet-swin-tiny",
+    "apple/deeplabv3-mobilevit-xx-small",
+    "google/deeplabv3_mobilenet_v2_0.5_513",
 ])
 def test_hf_provider_train_step(org_model, rng):
     config = {
