@@ -1,7 +1,7 @@
 """Model zoo: Flax segmentation models + torch checkpoint conversion.
 
-- :mod:`flairtpu.models.resnet` — ResNet-18/34/50 encoders (torchvision
-  topology, NHWC).
+- :mod:`flairtpu.models.resnet` — ResNet-18/34/50/101/152 + ResNeXt-50/101
+  encoders (torchvision topology, NHWC).
 - :mod:`flairtpu.models.unet` — U-Net / U-Net++ decoders + segmentation head
   matching segmentation-models-pytorch 0.3.3 (incl. the inner-crop decode
   fast path for zone exact clipping).
@@ -9,7 +9,9 @@
 - :mod:`flairtpu.models.smp_extra` — FPN, PSPNet, LinkNet and DeepLabV3
   (non-plus) decoders, completing the smp architecture set.
 - :mod:`flairtpu.models.segformer` / ``swin_upernet`` / ``convnext_upernet`` /
-  ``beit_upernet`` — the HuggingFace-provider families, parity-tested against
+  ``beit_upernet`` (also serving Data2Vec-Vision) / ``dpt`` / ``mobilevit`` /
+  ``mobilenet_v2`` — the HuggingFace-provider families (the full transformers
+  ``AutoModelForSemanticSegmentation`` registry), parity-tested against
   transformers.
 - :mod:`flairtpu.models.metadata_mlp` — 45-d metadata encoder + encoder-feature
   fusion (reference src/flair/model.py:56-62, 82-92).
