@@ -169,7 +169,7 @@ def main() -> None:
     warm_out, _, _ = run_single(config, engine, stride, "exact-clipping")
     Path(warm_out).unlink(missing_ok=True)
     best = None
-    for _ in range(int(os.environ.get("BENCH_PASSES", "4"))):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "6"))):
         path_out, stats, _ = run_single(config, engine, stride, "exact-clipping")
         Path(path_out).unlink(missing_ok=True)
         if best is None or stats["patches_per_sec"] > best["patches_per_sec"]:
