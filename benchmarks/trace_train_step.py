@@ -55,14 +55,13 @@ def capture(out_dir: str, batch: int, steps: int) -> None:
     jax.block_until_ready(img)
     key = jax.random.PRNGKey(0)
     p, s, o = tr.params, tr.batch_stats, tr.opt_state
-    p, s, o, loss, cm = step(p, s, o, img, msk, mtd, key)  # compile
+    p, s, o, loss, cm, key = step(p, s, o, img, msk, mtd, key)  # compile
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     with jax.profiler.trace(out_dir):
         for i in range(steps):
-            p, s, o, loss, cm = step(p, s, o, img, msk, mtd,
-                                     jax.random.fold_in(key, i))
-        jax.block_until_ready(loss)
+            p, s, o, loss, cm, key = step(p, s, o, img, msk, mtd, key)
+        float(np.asarray(loss))  # D2H fetch fences the chain
     dt = time.perf_counter() - t0
     print(f"captured {steps} steps in {dt:.2f}s "
           f"({steps * bs / dt:.1f} patches/s) -> {out_dir}")

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--short", type=int, default=3)
     ap.add_argument("--long", type=int, default=6)
+    ap.add_argument("--only", default=None,
+                    help="comma list: fwd,loss,bwd,opt,confmat,full")
     args = ap.parse_args()
 
     import jax
@@ -136,11 +138,23 @@ def main() -> None:
         print(f"{tag:18s} {dt * 1e3:8.1f} ms/step   {bs / dt:7.1f} patches/s")
         return dt
 
-    timed("fwd", fwd)
-    timed("fwd+loss", fwd_loss)
-    timed("fwd+bwd", fwd_bwd)
-    timed("fwd+bwd+opt", fwd_bwd_opt)
-    timed("confmat alone", confmat_only)
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(key):
+        return only is None or key in only
+
+    if want("fwd"):
+        timed("fwd", fwd)
+    if want("loss"):
+        timed("fwd+loss", fwd_loss)
+    if want("bwd"):
+        timed("fwd+bwd", fwd_bwd)
+    if want("opt"):
+        timed("fwd+bwd+opt", fwd_bwd_opt)
+    if want("confmat"):
+        timed("confmat alone", confmat_only)
+    if not want("full"):
+        return
 
     # full production step: state feeds forward call-to-call (donated
     # buffers), which is itself a data-dependent chain; fetch loss once
@@ -149,10 +163,10 @@ def main() -> None:
 
     def full_chain(n):
         p, s, o = state
+        k = key
         loss = None
         for i in range(n):
-            p, s, o, loss, cm = step(p, s, o, img, msk, mtd,
-                                     jax.random.fold_in(key, i))
+            p, s, o, loss, cm, k = step(p, s, o, img, msk, mtd, k)
         state[:] = [p, s, o]
         t0 = time.perf_counter()
         float(np.asarray(loss))

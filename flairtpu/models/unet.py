@@ -20,9 +20,29 @@ from flairtpu.models.resnet import batch_norm, conv
 DEFAULT_DECODER_CHANNELS = (256, 128, 64, 32, 16)
 
 
+@jax.custom_vjp
 def upsample2x_nearest(x: jax.Array) -> jax.Array:
-    """Exact equivalent of torch F.interpolate(scale_factor=2, mode='nearest')."""
+    """Exact equivalent of torch F.interpolate(scale_factor=2, mode='nearest').
+
+    Carries a hand-written VJP: autodiff of the repeat lowers to
+    broadcast+reduce pairs that materialize (B, H, W/2, 2, C)-shaped temps in
+    the train step (the decoder backward's largest allocations in the XLA
+    memory dump); the explicit 2x2 window sum is the same math with a clean
+    reshape-reduce layout.
+    """
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def _up2x_fwd(x):
+    return upsample2x_nearest(x), None
+
+
+def _up2x_bwd(_, g):
+    B, H2, W2, C = g.shape
+    return (g.reshape(B, H2 // 2, 2, W2 // 2, 2, C).sum(axis=(2, 4)),)
+
+
+upsample2x_nearest.defvjp(_up2x_fwd, _up2x_bwd)
 
 
 class DecoderBlock(nn.Module):

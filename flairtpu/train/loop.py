@@ -162,7 +162,11 @@ class SegmentationTrainer:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, batch_stats, opt_state, img, msk, mtd, rng):
-            aug_key, dropout_key = jax.random.split(rng)
+            # the rng advances ON DEVICE and is returned for the next call:
+            # an eager fold_in per step costs a full dispatch round trip on
+            # remote/tunneled backends (measured seconds-level under bad
+            # tunnel weather), so callers chain next_rng instead
+            next_rng, aug_key, dropout_key = jax.random.split(rng, 3)
             tgt = self._clean_targets(msk)
             if self.use_augmentation:
                 img, tgt = augment_batch(img, tgt, aug_key)
@@ -187,7 +191,7 @@ class SegmentationTrainer:
             params = optax.apply_updates(params, updates)
             preds = jnp.argmax(logits, axis=-1)
             cm = confusion_matrix(preds, tgt, self.num_classes)
-            return params, new_stats, new_opt, loss, cm
+            return params, new_stats, new_opt, loss, cm, next_rng
 
         self._train_step = step
         return step
@@ -319,10 +323,12 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
     class_w = cfgmod.class_weights(config)
 
     step = trainer.train_step()
-    base_rng = jax.random.PRNGKey(seed)
+    # one (cheap, one-off) host-side fold keeps resumed runs on the same
+    # randomness stream position; inside the epoch loop the rng then chains
+    # device-to-device through the jitted step with no per-step dispatch
+    rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
     history: list[dict] = []
     t_start = time.time()
-    global_step = 0
 
     def _progress_iter(iterable, desc):
         if not config.get("enable_progress_bar", True):
@@ -340,14 +346,13 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
         for batch in _progress_iter(train_loader, f"epoch {epoch + 1}/{num_epochs}"):
             img, msk, mtd = trainer._put(batch)
-            rng = jax.random.fold_in(base_rng, global_step)
-            trainer.params, trainer.batch_stats, trainer.opt_state, loss, bcm = step(
+            (trainer.params, trainer.batch_stats, trainer.opt_state, loss,
+             bcm, rng) = step(
                 trainer.params, trainer.batch_stats, trainer.opt_state,
                 img, msk, mtd, rng)
             loss_sum += float(loss)
             cm += np.asarray(bcm, np.int64)
             nb += 1
-            global_step += 1
         tm = _epoch_metrics(loss_sum, nb, cm)
 
         if epoch == start_epoch:  # profile the first epoch when enabled

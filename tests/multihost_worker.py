@@ -87,7 +87,7 @@ print(f"[worker {pid}] OK loader shard: {sorted(batches[0]['id'])}")
 img, msk, mtd = trainer._put(batches[0])  # global (8, ...) arrays
 assert img.shape[0] == 8, img.shape
 key = jax.random.PRNGKey(0)
-params, stats, opt, loss, cm = step(
+params, stats, opt, loss, cm, _rng = step(
     trainer.params, trainer.batch_stats, trainer.opt_state, img, msk, mtd, key)
 trainer.params, trainer.batch_stats, trainer.opt_state = params, stats, opt
 loss = float(loss)

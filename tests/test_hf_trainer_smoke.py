@@ -36,7 +36,7 @@ def test_hf_provider_train_step(org_model, rng):
         "msk": rng.integers(0, 4, size=(2, 64, 64)).astype(np.int32),
     }
     img, msk, mtd = trainer._put(batch)
-    params, stats, opt, loss, cm = step(
+    params, stats, opt, loss, cm, _rng = step(
         trainer.params, trainer.batch_stats, trainer.opt_state,
         img, msk, mtd, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
@@ -69,7 +69,7 @@ def test_upernet_aux_loss_training(rng):
     img, msk, mtd = trainer._put(batch)
     before = np.asarray(
         trainer.params["auxiliary_head"]["classifier"]["kernel"]).copy()
-    params, *_rest, loss, cm = step(
+    params, *_rest, loss, cm, _rng = step(
         trainer.params, trainer.batch_stats, trainer.opt_state,
         img, msk, mtd, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))

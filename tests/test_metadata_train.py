@@ -36,7 +36,7 @@ def test_metadata_train_step(rng):
     img, msk, mtd = trainer._put(batch)
     # copy before the step: the jitted step donates its input buffers
     before = np.asarray(trainer.params["metadata_mlp"]["fc0"]["kernel"]).copy()
-    params, stats, opt, loss, cm = step(
+    params, stats, opt, loss, cm, _rng = step(
         trainer.params, trainer.batch_stats, trainer.opt_state,
         img, msk, mtd, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
