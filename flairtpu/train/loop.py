@@ -245,17 +245,32 @@ def _epoch_metrics(loss_sum: float, n_batches: int, cm: np.ndarray) -> dict:
     return {"loss": loss_sum / max(n_batches, 1), "miou": miou}
 
 
+def _drain_epoch(losses: list, cms: list) -> tuple[float, np.ndarray]:
+    """ONE host fetch for a whole epoch's device-side loss/confmat outputs.
+
+    Per-batch float(loss)/np.asarray(bcm) fetches block the dispatch
+    pipeline every step and each carries the tunnel's seconds-level fixed
+    D2H latency; the step outputs are tiny (a scalar and a KxK matrix), so
+    holding them and stacking once per epoch is free."""
+    if not losses:
+        return 0.0, np.zeros((0, 0), np.int64)
+    loss_sum = float(np.asarray(jnp.stack(losses)).sum())
+    cm = np.asarray(jnp.sum(jnp.stack(cms), axis=0), np.int64)
+    return loss_sum, cm
+
+
 def evaluate(trainer: SegmentationTrainer, loader: PatchLoader) -> dict:
     step = trainer.eval_step()
-    loss_sum, nb = 0.0, 0
-    cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
+    losses, cms = [], []
     for batch in loader:
         img, msk, mtd = trainer._put(batch)
         loss, bcm = step(trainer.params, trainer.batch_stats, img, msk, mtd)
-        loss_sum += float(loss)
-        cm += np.asarray(bcm, np.int64)
-        nb += 1
-    m = _epoch_metrics(loss_sum, nb, cm)
+        losses.append(loss)
+        cms.append(bcm)
+    loss_sum, cm = _drain_epoch(losses, cms)
+    if cm.size == 0:
+        cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
+    m = _epoch_metrics(loss_sum, len(losses), cm)
     return {"val_loss": m["loss"], "val_miou": m["miou"], "confmat": cm}
 
 
@@ -342,18 +357,19 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
 
     num_epochs = int(config.get("num_epochs", 1))
     for epoch in range(start_epoch, num_epochs):
-        loss_sum, nb = 0.0, 0
-        cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
+        losses, cms = [], []
         for batch in _progress_iter(train_loader, f"epoch {epoch + 1}/{num_epochs}"):
             img, msk, mtd = trainer._put(batch)
             (trainer.params, trainer.batch_stats, trainer.opt_state, loss,
              bcm, rng) = step(
                 trainer.params, trainer.batch_stats, trainer.opt_state,
                 img, msk, mtd, rng)
-            loss_sum += float(loss)
-            cm += np.asarray(bcm, np.int64)
-            nb += 1
-        tm = _epoch_metrics(loss_sum, nb, cm)
+            losses.append(loss)
+            cms.append(bcm)
+        loss_sum, cm = _drain_epoch(losses, cms)
+        if cm.size == 0:
+            cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
+        tm = _epoch_metrics(loss_sum, len(losses), cm)
 
         if epoch == start_epoch:  # profile the first epoch when enabled
             from flairtpu.utils.profiling import maybe_trace
