@@ -53,6 +53,19 @@ def predict(config: dict, dict_test: dict, out_dir: str | Path,
     n_done = 0
     with ThreadPoolExecutor(max_workers=4) as pool:
         futures = []
+        pending = None  # (device preds, n, ids): overlap D2H with the next
+        #                 batch's dispatch (the fetch blocks while the device
+        #                 computes the following batch)
+
+        def flush(p):
+            nonlocal n_done
+            dev, n, ids = p
+            preds = np.asarray(dev)[:n]
+            for pred, src in zip(preds, ids):
+                futures.append(pool.submit(write_prediction, pred, src,
+                                           out_dir, geo))
+            n_done += n
+
         for batch in loader:
             img = batch["img"]
             n = img.shape[0]
@@ -66,11 +79,13 @@ def predict(config: dict, dict_test: dict, out_dir: str | Path,
             mtd = batch.get("mtd")
             if mtd is None:
                 mtd = np.zeros((img.shape[0], 45), np.float32)
-            preds = np.asarray(step(trainer.params, trainer.batch_stats,
-                                    jnp.asarray(img), jnp.asarray(mtd)))[:n]
-            for pred, src in zip(preds, batch["id"]):
-                futures.append(pool.submit(write_prediction, pred, src, out_dir, geo))
-            n_done += n
+            dev = step(trainer.params, trainer.batch_stats,
+                       jnp.asarray(img), jnp.asarray(mtd))
+            if pending is not None:
+                flush(pending)
+            pending = (dev, n, batch["id"])
+        if pending is not None:
+            flush(pending)
         for f in futures:
             f.result()
     progress(f"    [x] wrote {n_done} predictions to {out_dir}")
