@@ -61,3 +61,21 @@ def test_metadata_missing_raises(rng):
     trainer = SegmentationTrainer(config)
     with pytest.raises(ValueError, match="no 'mtd'"):
         trainer._put({"img": np.zeros((2, 32, 32, 3), np.uint8)})
+
+
+def test_drain_epoch_matches_per_batch_accumulation(rng):
+    """_drain_epoch (one host fetch per epoch) == per-batch float()/asarray."""
+    import jax.numpy as jnp
+
+    from flairtpu.train.loop import _drain_epoch
+
+    losses = [jnp.float32(v) for v in [0.5, 1.25, 3.0]]
+    cms = [jnp.asarray(rng.integers(0, 50, size=(4, 4))) for _ in range(3)]
+    loss_sum, cm = _drain_epoch(losses, cms)
+    assert loss_sum == pytest.approx(4.75)
+    np.testing.assert_array_equal(
+        cm, sum(np.asarray(c, np.int64) for c in cms))
+    assert cm.dtype == np.int64
+
+    loss0, cm0 = _drain_epoch([], [])
+    assert loss0 == 0.0 and cm0.size == 0
