@@ -180,6 +180,9 @@ def main() -> None:
     Path(warm_out).unlink(missing_ok=True)
     best = None
     for _ in range(int(os.environ.get("BENCH_PASSES", "6"))):
+        # drop the staged-zone cache so every pass pays the full read+H2D
+        # (sweeps/batch mode legitimately reuse it; the headline must not)
+        engine._staged_zone = None
         path_out, stats, _ = run_single(config, engine, stride, "exact-clipping")
         Path(path_out).unlink(missing_ok=True)
         if best is None or stats["patches_per_sec"] > best["patches_per_sec"]:

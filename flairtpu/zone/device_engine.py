@@ -473,11 +473,14 @@ class DeviceZoneRunner:
 
     # -- host orchestration --
 
-    def run(self, reader, grid: TileGrid, method: str, mesh=None) -> dict:
+    def run(self, reader, grid: TileGrid, method: str, mesh=None,
+            staged: dict | None = None) -> dict:
         """Returns host arrays: {'cls','prob'} or {'probs'} (class_prob).
 
         With a multi-device ``mesh``, the exact-clipping forward shards tile
         batches over the 'data' axis (shard_map); other modes run single-device.
+        ``staged`` (from :func:`flairtpu.zone.engine.stage_zone`) supplies a
+        pre-read zone and an already-in-flight H2D transfer.
         """
         import time
 
@@ -496,10 +499,16 @@ class DeviceZoneRunner:
         pad_hi_r = max(m, S - H - m)
         pad_hi_c = max(m, S - W - m)
         t0 = time.perf_counter()
-        zone_np = np.ascontiguousarray(
-            np.moveaxis(reader.read(self.config["channels"]), 0, -1))  # (H, W, C)
+        if staged is not None:
+            # zone pre-read (and its H2D possibly already in flight) by
+            # engine.stage_zone — sweep combos and batch mode reuse/overlap it
+            zone_np = staged["zone_np"]
+            t_read = float(staged.get("read_seconds", 0.0))
+        else:
+            zone_np = np.ascontiguousarray(
+                np.moveaxis(reader.read(self.config["channels"]), 0, -1))  # (H, W, C)
+            t_read = time.perf_counter() - t0
         pad = ((pad_lo, pad_hi_r), (pad_lo, pad_hi_c))
-        t_read = time.perf_counter() - t0
 
         tiles = grid.tiles
         n = len(tiles)
@@ -524,7 +533,12 @@ class DeviceZoneRunner:
         zone_dev = None
         if not (banded or use_sharded):
             th = time.perf_counter()
-            zone_dev = jax.block_until_ready(jax.device_put(zone_np))
+            if staged is not None and staged.get("zone_dev") is not None:
+                # transfer started by stage_zone; the wait here is only the
+                # residual (0 when it overlapped earlier work)
+                zone_dev = jax.block_until_ready(staged["zone_dev"])
+            else:
+                zone_dev = jax.block_until_ready(jax.device_put(zone_np))
             timings["h2d_seconds"] = time.perf_counter() - th
 
         def _timed_compute(fn, *args):

@@ -281,6 +281,31 @@ def _make_writer(config: dict, reader: TiffReader, path_out: str) -> TiffWriter:
         overviews=config.get("output_overviews"))
 
 
+def stage_zone(config: dict, img_path: str | None = None) -> dict:
+    """Read a zone and START its H2D transfer without waiting.
+
+    The returned dict feeds ``DeviceZoneRunner.run(staged=...)``. Calling
+    this from a background thread (batch mode) or caching it across sweep
+    combinations overlaps/reuses the transfer — on tunneled backends the
+    zone upload dominates end-to-end time (PERFORMANCE.md), and compare
+    sweeps previously re-read + re-uploaded the same raster per combination.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    path = str(img_path or config["input_img_path"])
+    t0 = time.perf_counter()
+    with TiffReader(path, cache_blocks=128) as r:
+        zone_np = np.ascontiguousarray(
+            np.moveaxis(r.read(config["channels"]), 0, -1))
+    staged = {"path": path, "zone_np": zone_np,
+              "read_seconds": time.perf_counter() - t0}
+    staged["zone_dev"] = jax.device_put(zone_np)  # async: no wait here
+    return staged
+
+
 def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
                identifier: str = "") -> tuple[str, dict, TileGrid]:
     """One (grid, stitcher, output raster) pass over the zone.
@@ -320,7 +345,17 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
                 runner = DeviceZoneRunner(config, engine.model, engine.params,
                                           engine.batch_stats)
                 engine._device_runner = runner
-            res = runner.run(reader, grid, method)
+            # staged-zone cache: reused across sweep combinations (same
+            # raster re-read/re-uploaded per combo otherwise) and fed by
+            # batch mode's prefetch thread for cross-zone overlap
+            staged = getattr(engine, "_staged_zone", None)
+            if staged is not None and staged.get("path") != str(
+                    config["input_img_path"]):
+                staged = None
+            if staged is None:
+                staged = stage_zone(config)
+            engine._staged_zone = staged
+            res = runner.run(reader, grid, method, staged=staged)
             writer = _make_writer(config, reader, path_out)
             if "cls" in res:
                 writer.write_band([1, 2], np.stack([res["cls"], res["prob"]]))
@@ -348,8 +383,12 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
     return path_out, stats, grid
 
 
-def run_pipeline(config: dict) -> None:
-    """flair-detect entry (reference main.py:244-436)."""
+def run_pipeline(config: dict, engine: ZoneEngine | None = None) -> None:
+    """flair-detect entry (reference main.py:244-436).
+
+    ``engine`` lets batch mode reuse one model/engine (and its compiled
+    programs) across zones instead of rebuilding per zone.
+    """
     config = setup_out_path(config)
     local_out = Path(config["local_out"])
     log_file = local_out / (
@@ -364,8 +403,9 @@ def run_pipeline(config: dict) -> None:
     ##############################################
 
     JAX backend: {jax.default_backend()}""")
-        model, params, batch_stats = prepare_model(config)
-        engine = ZoneEngine(config, model, params, batch_stats)
+        if engine is None:
+            model, params, batch_stats = prepare_model(config)
+            engine = ZoneEngine(config, model, params, batch_stats)
 
         from flairtpu.utils.profiling import maybe_trace
 
