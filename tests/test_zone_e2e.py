@@ -301,3 +301,54 @@ def test_output_overviews_option(zone_setup):
     with TiffReader(out, ifd_index=1) as r1:
         assert (r1.width, r1.height) == (ZONE_W // 2, ZONE_H // 2)
         np.testing.assert_array_equal(r1.read(1), base[::2, ::2])
+
+
+def test_staged_zone_cache_reuse_and_invalidation(zone_setup, monkeypatch):
+    """run_single stages the zone once per input path: reused for repeat
+    passes over the same raster (compare sweeps), dropped on path change;
+    repeated runs produce identical rasters."""
+    import flairtpu.zone.engine as zmod
+    from flairtpu.zone.engine import (ZoneEngine, prepare_model, run_single,
+                                      setup_out_path)
+
+    tmp, make_config, _, _ = zone_setup
+    cfg = cfgmod.validate_detect_config(make_config(
+        metrics=False, compare=False,
+        output_path=str(tmp / "out_staged")))
+    zone_path = Path(cfg["input_img_path"])
+    cfg = setup_out_path(cfg)
+    model, params, stats = prepare_model(cfg)
+    engine = ZoneEngine(cfg, model, params, stats)
+
+    calls = []
+    real_stage = zmod.stage_zone
+
+    def counting_stage(config, img_path=None):
+        calls.append(str(img_path or config["input_img_path"]))
+        return real_stage(config, img_path)
+
+    monkeypatch.setattr(zmod, "stage_zone", counting_stage)
+
+    p1, _, _ = run_single(cfg, engine, SIZE - 2 * MARGIN, "exact-clipping")
+    p2, _, _ = run_single(cfg, engine, SIZE - 2 * MARGIN, "average",
+                          identifier="b")
+    assert len(calls) == 1  # second pass reused the staged upload
+
+    # a different input path invalidates the cache
+    other = Path(str(zone_path) + ".copy.tif")
+    import shutil
+
+    shutil.copyfile(zone_path, other)
+    cfg2 = dict(cfg, input_img_path=str(other))
+    run_single(cfg2, engine, SIZE - 2 * MARGIN, "exact-clipping",
+               identifier="c")
+    assert len(calls) == 2 and calls[-1] == str(other)
+
+    with TiffReader(p1) as r1:
+        a = r1.read(1)
+    cfg3 = dict(cfg, output_path=str(tmp / "out_staged2"))
+    cfg3 = setup_out_path(cfg3)
+    engine._staged_zone = None
+    p3, _, _ = run_single(cfg3, engine, SIZE - 2 * MARGIN, "exact-clipping")
+    with TiffReader(p3) as r3:
+        np.testing.assert_array_equal(a, r3.read(1))
