@@ -302,7 +302,13 @@ def stage_zone(config: dict, img_path: str | None = None) -> dict:
             np.moveaxis(r.read(config["channels"]), 0, -1))
     staged = {"path": path, "zone_np": zone_np,
               "read_seconds": time.perf_counter() - t0}
-    staged["zone_dev"] = jax.device_put(zone_np)  # async: no wait here
+    # zones too large for the device-resident path run through the
+    # streaming engine and never consume the upload — don't occupy HBM
+    # (batch mode prefetches before run_single decides the path)
+    from flairtpu.zone.device_engine import device_budget_bytes
+
+    if zone_np.nbytes * 4 <= device_budget_bytes():
+        staged["zone_dev"] = jax.device_put(zone_np)  # async: no wait here
     return staged
 
 
