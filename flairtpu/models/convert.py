@@ -360,7 +360,15 @@ def _tree_get(tree, path):
 
 
 def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
-    """Dispatch smp / SegFormer / UperNet-Swin state dicts to their converter."""
+    """Dispatch a torch state dict to its family converter by key signature.
+
+    Families: smp resnet-unet (and the other smp archs, same key layout),
+    SegFormer, Swin/ConvNeXt-UperNet, BEiT, Data2Vec-Vision, DPT, MobileViT,
+    MobileNetV2. Ordering matters: BEiT/DPT/MobileViT also carry
+    decode_head./segmentation_head. keys, so the prefix checks for their
+    backbones run before the generic SegFormer/smp fallbacks
+    (tests/test_converter_dispatch.py locks the routing).
+    """
     if any(k.startswith("backbone.") for k in sd):
         # swin keys: backbone.encoder.layers.*; convnext: backbone.encoder.stages.*
         if any(k.startswith("backbone.encoder.stages.") for k in sd):
