@@ -14,4 +14,4 @@ first-party GeoTIFF codec (pure Python + native C++ fast paths) since the
 framework does not depend on GDAL.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

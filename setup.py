@@ -8,7 +8,7 @@ from setuptools import find_packages, setup
 
 setup(
     name="flairtpu",
-    version="0.1.0",
+    version="0.2.0",
     description="TPU-native framework for FLAIR-1 land-cover segmentation (JAX/Flax/Pallas)",
     python_requires=">=3.10",
     packages=find_packages(include=["flairtpu", "flairtpu.*"]),
