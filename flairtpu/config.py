@@ -81,6 +81,20 @@ def num_classes(cfg: dict) -> int:
 _NORM_TYPES = ("scaling", "custom", "without")
 
 
+def _validate_model_name(mf: dict) -> None:
+    """Fail at config time on model names the factory would reject 30s later
+    (after the model-zoo imports) — the reference defers this to smp/
+    transformers construction errors (src/flair/model.py:35-50)."""
+    from flairtpu.models.registry import validate_model_framework
+
+    try:
+        validate_model_framework(mf)
+    except NotImplementedError as e:
+        raise ConfigError(str(e)) from None
+    except KeyError as e:
+        raise ConfigError(f"model_framework is missing key {e}.") from None
+
+
 def validate_train_config(cfg: dict) -> dict:
     """Validate the `flair --conf` YAML (schema: reference configs/flair-1-config.yaml)."""
     paths = _require(cfg, "paths")
@@ -92,6 +106,7 @@ def validate_train_config(cfg: dict) -> dict:
             "model_provider should be either HuggingFace or SegmentationModelsPytorch, "
             f"got {provider!r}."
         )
+    _validate_model_name(mf)
 
     channels = _require(cfg, "channels")
     if not (isinstance(channels, list) and all(isinstance(c, int) for c in channels)):
@@ -115,6 +130,17 @@ def validate_train_config(cfg: dict) -> dict:
     cfg.setdefault("use_metadata", False)
     cfg.setdefault("use_augmentation", False)
     cfg.setdefault("use_weights", True)
+    # TPU-native memory knobs (no reference analog: Lightning gets these from
+    # accumulate_grad_batches / torch checkpointing)
+    cfg.setdefault("accumulate_steps", 1)
+    cfg.setdefault("remat", False)
+    if not (isinstance(cfg["accumulate_steps"], int) and cfg["accumulate_steps"] >= 1):
+        raise ConfigError("accumulate_steps must be an integer >= 1.")
+    if cfg.get("batch_size") and cfg["accumulate_steps"] > 1 \
+            and int(cfg["batch_size"]) % cfg["accumulate_steps"]:
+        raise ConfigError(
+            f"batch_size {cfg['batch_size']} is not divisible by "
+            f"accumulate_steps {cfg['accumulate_steps']}.")
     cfg.setdefault("seed", 2022)
     cfg.setdefault("georeferencing_output", True)
     cfg.setdefault("accelerator", "tpu")
@@ -194,6 +220,9 @@ def validate_detect_config(cfg: dict) -> dict:
     norma = _require(cfg, "norma_task")
     if norma[0]["norm_type"] not in ("custom", "scaling"):
         raise ConfigError("Invalid normalization type: should be custom or scaling.")
+
+    if isinstance(cfg.get("model_framework"), dict):
+        _validate_model_name(cfg["model_framework"])
 
     weights = _require(cfg, "model_weights")
     if not os.path.isfile(weights):

@@ -63,6 +63,20 @@ _PSP_RE = re.compile(r"^decoder\.(?:psp\.blocks\.(\d+)\.pool\.1|conv)\.([01])\.(
 _LINKNET_RE = re.compile(r"^decoder\.blocks\.(\d+)\.block\.([012])\.([012])\.(.+)$")
 # DeepLabV3 (non-plus, nn.Sequential decoder): decoder.{0 ASPP,1 conv,2 bn}
 _DLV3_RE = re.compile(r"^decoder\.([012])\.(.+)$")
+# MAnet: center PAB convs + blocks.{i}.{hl_conv,SE_ll,SE_hl} (the MFAB
+# conv1/conv2 fusion convs share the unet _BLOCK_RE path)
+_MANET_CENTER_RE = re.compile(
+    r"^decoder\.center\.(top_conv|center_conv|bottom_conv|out_conv)\.(weight|bias)$")
+_MANET_HL_RE = re.compile(
+    r"^decoder\.blocks\.(\d+)\.hl_conv\.([01])\.([01])\.(.+)$")
+_MANET_SE_RE = re.compile(
+    r"^decoder\.blocks\.(\d+)\.SE_(ll|hl)\.([13])\.(weight|bias)$")
+# PAN: fpa/gau ConvBnRelu submodules (keys <mod>.conv.* / <mod>.bn.*)
+_PAN_RE = re.compile(r"^decoder\.(fpa|gau[123])\.(.+)$")
+# PAN Sequential-position -> flax submodule name
+_PAN_FPA_SUB = {"branch1.1": "branch1", "mid.0": "mid", "down1.1": "down1",
+                "down2.1": "down2", "down3.1": "down3_0", "down3.2": "down3_1",
+                "conv1": "conv1", "conv2": "conv2"}
 
 _BN_PARAM = {"weight": ("params", "scale"), "bias": ("params", "bias")}
 _BN_STATS = {"running_mean": ("batch_stats", "mean"), "running_var": ("batch_stats", "var")}
@@ -188,6 +202,51 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                         put("params", blk + ("convt", "bias"), arr)
                 else:
                     put_bn(blk + ("convt_bn",), leaf, arr)
+            continue
+        # --- MAnet decoder (smp decoders/manet/decoder.py) ---
+        m = _MANET_CENTER_RE.match(key)
+        if m:
+            name, leaf = m.groups()
+            put("params", ("decoder", "center", name,
+                           "kernel" if leaf == "weight" else leaf),
+                _convert_tensor(leaf, arr, "conv"))
+            continue
+        m = _MANET_HL_RE.match(key)
+        if m:
+            i, j, sub, leaf = m.groups()
+            mod = ("decoder", f"block{i}")
+            if sub == "0":  # Conv2dReLU conv
+                put("params", mod + (f"hl{j}_conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                put_bn(mod + (f"hl{j}_bn",), leaf, arr)
+            continue
+        m = _MANET_SE_RE.match(key)
+        if m:
+            i, which, idx, leaf = m.groups()
+            fc = "fc0" if idx == "1" else "fc1"  # Sequential(pool,conv,relu,conv,sigmoid)
+            put("params", ("decoder", f"block{i}", f"se_{which}", fc,
+                           "kernel" if leaf == "weight" else leaf),
+                _convert_tensor(leaf, arr, "conv"))
+            continue
+        # --- PAN decoder (smp decoders/pan/decoder.py) ---
+        m = _PAN_RE.match(key)
+        if m:
+            top, rest = m.groups()
+            parts = rest.split(".")
+            leaf = parts[-1]
+            kind = parts[-2]  # conv | bn
+            pos = ".".join(parts[:-2])  # e.g. branch1.1 / conv1 / 1 (gau conv1)
+            if top == "fpa":
+                sub = _PAN_FPA_SUB[pos]
+            else:  # gau: conv1.1 -> conv1 (SE gate), conv2 -> conv2
+                sub = "conv1" if pos.startswith("conv1") else "conv2"
+            mod = ("decoder", top, sub)
+            if kind == "conv":
+                put("params", mod + ("conv", "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            else:
+                put_bn(mod + ("bn",), leaf, arr)
             continue
         # --- PSPNet decoder (smp decoders/pspnet/decoder.py) ---
         m = _PSP_RE.match(key)
@@ -362,9 +421,9 @@ def _tree_get(tree, path):
 def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
     """Dispatch a torch state dict to its family converter by key signature.
 
-    Families: smp resnet-unet (and the other smp archs, same key layout),
+    Families: smp resnet-unet (and the other 8 smp archs, same key layout),
     SegFormer, Swin/ConvNeXt-UperNet, BEiT, Data2Vec-Vision, DPT, MobileViT,
-    MobileNetV2. Ordering matters: BEiT/DPT/MobileViT also carry
+    MobileViTV2, MobileNetV2. Ordering matters: BEiT/DPT/MobileViT also carry
     decode_head./segmentation_head. keys, so the prefix checks for their
     backbones run before the generic SegFormer/smp fallbacks
     (tests/test_converter_dispatch.py locks the routing).
@@ -386,6 +445,10 @@ def any_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
         from flairtpu.models.mobilenet_v2 import hf_mobilenet_v2_torch_to_flax
 
         return hf_mobilenet_v2_torch_to_flax(dict(sd))
+    if any(k.startswith("mobilevitv2.") for k in sd):
+        from flairtpu.models.mobilevitv2 import hf_mobilevitv2_torch_to_flax
+
+        return hf_mobilevitv2_torch_to_flax(dict(sd))
     if any(k.startswith("mobilevit.") for k in sd):
         from flairtpu.models.mobilevit import hf_mobilevit_torch_to_flax
 

@@ -4,10 +4,11 @@ Provider dispatch mirrors the reference FLAIR_ModelFactory
 (src/flair/model.py:20-50, src/zone_detect/model.py:12-58):
 
 - ``SegmentationModelsPytorch`` + ``encoder_decoder: <encoder>_<arch>`` ->
-  first-party Flax ports of the smp architectures (unet, unetplusplus,
-  deeplabv3plus, deeplabv3, fpn, pspnet, linknet) over the resnet encoder
-  family, weight-compatible with the published FLAIR-INC ``.pth``
-  checkpoints via :mod:`flairtpu.models.convert`.
+  first-party Flax ports of ALL 9 smp 0.3.3 architectures (unet,
+  unetplusplus, manet, linknet, fpn, pspnet, deeplabv3, deeplabv3plus,
+  pan) over the resnet encoder family, weight-compatible with the
+  published FLAIR-INC ``.pth`` checkpoints via
+  :mod:`flairtpu.models.convert`.
 - ``HuggingFace`` -> first-party Flax ports dispatched by org model name,
   covering the entire transformers ``AutoModelForSemanticSegmentation``
   registry the reference can load (model.py:43-50): SegFormer b0-b5
@@ -15,7 +16,8 @@ Provider dispatch mirrors the reference FLAIR_ModelFactory
   reference default), ConvNeXt-UperNet (``openmmlab/upernet-convnext-*``),
   BEiT-UperNet (``microsoft/beit-*``), Data2Vec-Vision
   (``facebook/data2vec-vision-*``), DPT (``Intel/dpt-large-ade``),
-  MobileViT (``apple/deeplabv3-mobilevit-*``) and MobileNetV2
+  MobileViT (``apple/deeplabv3-mobilevit-*``), MobileViTV2
+  (``apple/mobilevitv2-*``) and MobileNetV2
   (``google/deeplabv3_mobilenet_v2_*``); unsupported org models raise
   with a clear message listing the supported families.
 
@@ -49,26 +51,31 @@ class FlairSegmentationModel(nn.Module):
     arch: str = "unet"
     classes: int = 13
     use_metadata: bool = False
+    # jax.checkpoint the encoder blocks (and unet decoder blocks) on the
+    # backward pass — the TPU-native answer to "effective batch beyond HBM"
+    # together with accumulate_steps (train/loop.py)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         if self.arch == "unet":
             self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         dtype=self.dtype)
-            self.decoder = UnetDecoder(dtype=self.dtype)
+                                         remat=self.remat, dtype=self.dtype)
+            self.decoder = UnetDecoder(remat=self.remat, dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
         elif self.arch == "unetplusplus":
             from flairtpu.models.unet import UnetPlusPlusDecoder
 
             self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         dtype=self.dtype)
+                                         remat=self.remat, dtype=self.dtype)
             self.decoder = UnetPlusPlusDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
         elif self.arch == "deeplabv3plus":
             from flairtpu.models.deeplab import DeepLabV3PlusDecoder
 
             self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         output_stride=16, dtype=self.dtype)
+                                         output_stride=16, remat=self.remat,
+                                         dtype=self.dtype)
             self.decoder = DeepLabV3PlusDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
@@ -76,7 +83,8 @@ class FlairSegmentationModel(nn.Module):
             from flairtpu.models.smp_extra import DeepLabV3Decoder
 
             self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         output_stride=8, dtype=self.dtype)
+                                         output_stride=8, remat=self.remat,
+                                         dtype=self.dtype)
             self.decoder = DeepLabV3Decoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
@@ -84,7 +92,7 @@ class FlairSegmentationModel(nn.Module):
             from flairtpu.models.smp_extra import FPNDecoder
 
             self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         dtype=self.dtype)
+                                         remat=self.remat, dtype=self.dtype)
             self.decoder = FPNDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
@@ -92,7 +100,8 @@ class FlairSegmentationModel(nn.Module):
             from flairtpu.models.smp_extra import PSPDecoder
 
             self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         depth=3, dtype=self.dtype)
+                                         depth=3, remat=self.remat,
+                                         dtype=self.dtype)
             self.decoder = PSPDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=3,
                                                       dtype=self.dtype)
@@ -100,15 +109,33 @@ class FlairSegmentationModel(nn.Module):
             from flairtpu.models.smp_extra import LinknetDecoder
 
             self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         dtype=self.dtype)
+                                         remat=self.remat, dtype=self.dtype)
             self.decoder = LinknetDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
+                                                      dtype=self.dtype)
+        elif self.arch == "manet":
+            from flairtpu.models.manet import MAnetDecoder
+
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         remat=self.remat, dtype=self.dtype)
+            self.decoder = MAnetDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, kernel=3,
+                                                      dtype=self.dtype)
+        elif self.arch == "pan":
+            from flairtpu.models.pan import PANDecoder
+
+            # smp's PAN hardcodes encoder_output_stride=16 (decoders/pan/model.py)
+            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
+                                         output_stride=16, remat=self.remat,
+                                         dtype=self.dtype)
+            self.decoder = PANDecoder(dtype=self.dtype)
+            self.segmentation_head = SegmentationHead(self.classes, kernel=3,
                                                       dtype=self.dtype)
         else:
             raise NotImplementedError(
                 f"architecture {self.arch!r} not ported (supported: "
-                "unet, unetplusplus, deeplabv3plus, deeplabv3, fpn, pspnet, "
-                "linknet)")
+                "unet, unetplusplus, manet, linknet, fpn, pspnet, "
+                "deeplabv3, deeplabv3plus, pan)")
         if self.use_metadata:
             self.metadata_mlp = MetadataMLP(dtype=self.dtype)
 
@@ -141,9 +168,9 @@ class FlairSegmentationModel(nn.Module):
         y = self.decoder(feats, train=train)
         logits = self.segmentation_head(y)
         # smp SegmentationHead upsampling factor (UpsamplingBilinear2d):
-        # deeplabv3plus/fpn emit stride-4 maps, deeplabv3/pspnet stride-8
-        up = {"deeplabv3plus": 4, "fpn": 4, "deeplabv3": 8, "pspnet": 8}.get(
-            self.arch, 1)
+        # deeplabv3plus/fpn/pan emit stride-4 maps, deeplabv3/pspnet stride-8
+        up = {"deeplabv3plus": 4, "fpn": 4, "pan": 4,
+              "deeplabv3": 8, "pspnet": 8}.get(self.arch, 1)
         if up > 1:
             from flairtpu.models.deeplab import upsample_align_corners
 
@@ -159,30 +186,25 @@ def create_model(config: dict, dtype: Any = jnp.float32) -> FlairSegmentationMod
     n_classes = config.get("n_classes") or len(config["classes"])
 
     if provider == "SegmentationModelsPytorch":
-        # the arch is the last "_"-component; rsplit (vs the reference's bare
-        # split, src/flair/model.py:35) additionally admits underscore
-        # encoder names like resnext50_32x4d that crash the reference
-        encoder, arch = mf["SegmentationModelsPytorch"]["encoder_decoder"].rsplit("_", 1)
-        if arch not in ("unet", "unetplusplus", "deeplabv3plus", "deeplabv3",
-                        "fpn", "pspnet", "linknet"):
-            raise NotImplementedError(
-                f"architecture {arch!r} not yet ported (supported: unet, "
-                "unetplusplus, deeplabv3plus, deeplabv3, fpn, pspnet, linknet)")
-        if encoder not in RESNET_SPECS:
-            raise NotImplementedError(
-                f"encoder {encoder!r} not yet ported (supported: {sorted(RESNET_SPECS)})")
+        # name validation lives in the registry, shared with config-time
+        # checks (flairtpu/models/registry.py) so the two can never drift
+        from flairtpu.models.registry import check_smp
+
+        encoder, arch = check_smp(mf["SegmentationModelsPytorch"]["encoder_decoder"])
         return FlairSegmentationModel(
             encoder_name=encoder,
             arch=arch,
             classes=int(n_classes),
             use_metadata=bool(config.get("use_metadata", False)),
+            remat=bool(config.get("remat", False)),
             dtype=dtype,
         )
 
     if provider == "HuggingFace":
         from flairtpu.models.segformer import create_hf_model
 
-        return create_hf_model(mf["HuggingFace"]["org_model"], int(n_classes), dtype)
+        return create_hf_model(mf["HuggingFace"]["org_model"], int(n_classes),
+                               dtype, remat=bool(config.get("remat", False)))
 
     raise ValueError(
         "model_provider should be either HuggingFace or SegmentationModelsPytorch, "

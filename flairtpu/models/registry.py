@@ -1,0 +1,144 @@
+"""Model-name registry: pure-string dispatch shared by config validation
+and the model factories.
+
+The reference defers model-name errors to construction time (smp/transformers
+raise deep inside ``FLAIR_ModelFactory``, src/flair/model.py:35-50, often
+after 30s of imports); here the same strings are validated at config time
+with zero heavy imports, and the factories route through the same functions
+so the two can never drift (tests/test_config.py locks the agreement).
+
+``check_smp`` mirrors the reference's ``encoder_decoder`` split
+(src/flair/model.py:35-41) and ``hf_family`` the org-model dispatch
+(src/flair/model.py:43-50) over the transformers
+AutoModelForSemanticSegmentation registry.
+"""
+
+from __future__ import annotations
+
+import re
+
+# smp architectures ported to Flax (smp.create_model's arch argument) —
+# the complete smp 0.3.3 set
+SMP_ARCHS = ("unet", "unetplusplus", "manet", "linknet", "fpn", "pspnet",
+             "deeplabv3", "deeplabv3plus", "pan")
+
+# encoder families ported to Flax (smp.create_model's encoder_name argument)
+RESNET_ENCODERS = ("resnet18", "resnet34", "resnet50", "resnet101",
+                   "resnet152", "resnext50_32x4d", "resnext101_32x8d")
+SMP_ENCODERS = RESNET_ENCODERS
+
+
+def check_smp(encoder_decoder: str) -> tuple[str, str]:
+    """Split ``<encoder>_<arch>`` and validate both parts; returns (encoder, arch).
+
+    Uses rsplit (vs the reference's bare split, src/flair/model.py:35) so
+    underscore encoder names like resnext50_32x4d that crash the reference
+    still parse.
+    """
+    if "_" not in encoder_decoder:
+        raise NotImplementedError(
+            f"encoder_decoder {encoder_decoder!r} is not of the form "
+            "'<encoder>_<architecture>' (e.g. resnet34_unet)")
+    encoder, arch = encoder_decoder.rsplit("_", 1)
+    if arch not in SMP_ARCHS:
+        raise NotImplementedError(
+            f"architecture {arch!r} not ported (supported: "
+            + ", ".join(SMP_ARCHS) + ")")
+    if encoder not in SMP_ENCODERS:
+        raise NotImplementedError(
+            f"encoder {encoder!r} not ported (supported: "
+            + ", ".join(SMP_ENCODERS) + ")")
+    return encoder, arch
+
+
+_SEGFORMER_RE = re.compile(r"(?:mit-|segformer-)?(b[0-5])")
+_SWIN_RE = re.compile(r"swin-(tiny|small|base|large)")
+_CONVNEXT_RE = re.compile(r"convnext-(tiny|small|base|large|xlarge)")
+_MOBILEVITV2_RE = re.compile(r"mobilevitv2-(\d+\.\d+)")
+_MOBILEVIT_RE = re.compile(r"mobilevit-(xx-small|x-small|small)")
+_DPT_RE = re.compile(r"dpt-(base|large)")
+_BEIT_RE = re.compile(r"(?:beit|data2vec-vision)-(base|large)")
+_MNV2_RE = re.compile(r"_(\d+\.\d+)_")  # google/deeplabv3_mobilenet_v2_1.0_513
+
+HF_FAMILIES = ("segformer", "swin", "convnext", "beit", "dpt", "mobilevit",
+               "mobilevitv2", "mobilenet_v2")
+
+
+def hf_family(org_model: str) -> tuple[str, str]:
+    """Classify an HF org/model string; returns (family, size-spec).
+
+    Families cover the complete AutoModelForSemanticSegmentation registry the
+    reference can load (src/flair/model.py:43-50). Raises NotImplementedError
+    with guidance for anything outside the ported zoo.
+    """
+    name = org_model.lower()
+    if "dpt" in name:
+        if "hybrid" in name:
+            raise NotImplementedError(
+                f"{org_model!r}: only plain-ViT DPT is ported (the hybrid "
+                "BiT-backbone variant is not; use Intel/dpt-large-ade).")
+        dm = _DPT_RE.search(name)
+        if not dm:
+            raise NotImplementedError(
+                f"DPT size in {org_model!r} is not ported (supported: "
+                "dpt-base, dpt-large, e.g. Intel/dpt-large-ade).")
+        return "dpt", dm.group(1)
+    if "mobilenet_v2" in name or "mobilenet-v2" in name:
+        dm = _MNV2_RE.search(name)
+        return "mobilenet_v2", dm.group(1) if dm else "1.0"
+    if "mobilevitv2" in name:
+        mv = _MOBILEVITV2_RE.search(name)
+        if not mv:
+            raise NotImplementedError(
+                f"MobileViTV2 width in {org_model!r} is not ported (supported: "
+                "width-multiplier names like apple/mobilevitv2-1.0-imagenet1k-256).")
+        return "mobilevitv2", mv.group(1)
+    if "mobilevit" in name:
+        mv = _MOBILEVIT_RE.search(name)
+        if not mv:
+            raise NotImplementedError(
+                f"MobileViT size in {org_model!r} is not ported (supported: "
+                "small, x-small, xx-small, e.g. apple/deeplabv3-mobilevit-small).")
+        return "mobilevit", mv.group(1)
+    if "beit" in name or "data2vec" in name:
+        bm = _BEIT_RE.search(name)
+        if not bm:
+            raise NotImplementedError(
+                f"BEiT size in {org_model!r} is not ported (supported: "
+                "beit-base, beit-large, data2vec-vision-base/large, e.g. "
+                "microsoft/beit-base-finetuned-ade-640-640).")
+        return "beit", bm.group(1)
+    sw = _SWIN_RE.search(name)
+    cn = _CONVNEXT_RE.search(name)
+    if "upernet" in name or sw or cn:
+        if sw:
+            return "swin", sw.group(1)
+        if cn:
+            return "convnext", cn.group(1)
+        raise NotImplementedError(
+            f"UperNet backbone in {org_model!r} is not ported (supported: "
+            "swin-tiny/small/base/large, convnext-tiny/small/base/large/xlarge, "
+            "beit-base/large).")
+    m = _SEGFORMER_RE.search(name)
+    if not m:
+        raise NotImplementedError(
+            f"HuggingFace model {org_model!r} is not in the ported TPU-native zoo. "
+            "Supported: SegFormer (nvidia/segformer-b0..b5, nvidia/mit-b0..b5), "
+            "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large), "
+            "UperNet-ConvNeXt (openmmlab/upernet-convnext-*), BEiT "
+            "(microsoft/beit-base/large-finetuned-ade-*), Data2Vec-Vision "
+            "(facebook/data2vec-vision-base/large), DPT (Intel/dpt-large-ade), "
+            "MobileViT (apple/deeplabv3-mobilevit-*), MobileViTV2 "
+            "(apple/mobilevitv2-*) and MobileNetV2 "
+            "(google/deeplabv3_mobilenet_v2_*). For ResNet-U-Net use "
+            "the SegmentationModelsPytorch provider.")
+    return "segformer", m.group(1)
+
+
+def validate_model_framework(mf: dict) -> None:
+    """Config-time model-name check (raises NotImplementedError on gaps)."""
+    provider = mf.get("model_provider")
+    if provider == "SegmentationModelsPytorch":
+        check_smp(mf["SegmentationModelsPytorch"]["encoder_decoder"])
+    elif provider == "HuggingFace":
+        hf_family(mf["HuggingFace"]["org_model"])

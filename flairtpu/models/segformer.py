@@ -199,86 +199,57 @@ class SegformerModel(nn.Module):
         return logits
 
 
-_SPEC_RE = re.compile(r"(?:mit-|segformer-)?(b[0-5])")
-_SWIN_RE = re.compile(r"swin-(tiny|small|base|large)")
-_CONVNEXT_RE = re.compile(r"convnext-(tiny|small|base|large|xlarge)")
+def create_hf_model(org_model: str, n_classes: int, dtype, remat: bool = False):
+    """Build the Flax port for an HF org/model string.
 
+    Name classification lives in flairtpu.models.registry (shared with
+    config-time validation); this function only constructs. ``remat``
+    currently applies to the BEiT/Data2Vec family (the largest backbones —
+    beit-large training at 512^2 OOMs a 16 GB chip without it); the other
+    families fit comfortably and ignore it.
+    """
+    from flairtpu.models.registry import hf_family
 
-def create_hf_model(org_model: str, n_classes: int, dtype):
+    family, spec = hf_family(org_model)
     name = org_model.lower()
-    sw = _SWIN_RE.search(name)
-    cn = _CONVNEXT_RE.search(name)
-    if "dpt" in name:
+    if family == "dpt":
         from flairtpu.models.dpt import DPTSeg
 
-        if "hybrid" in name:
-            raise NotImplementedError(
-                f"{org_model!r}: only plain-ViT DPT is ported (the hybrid "
-                "BiT-backbone variant is not; use Intel/dpt-large-ade).")
-        dm = re.search(r"dpt-(base|large)", name)
-        if not dm:
-            raise NotImplementedError(
-                f"DPT size in {org_model!r} is not ported (supported: "
-                "dpt-base, dpt-large, e.g. Intel/dpt-large-ade).")
         # the ADE seg release was trained at 480^2 (grid 30); others at 384^2
-        return DPTSeg(spec=dm.group(1), classes=n_classes,
+        return DPTSeg(spec=spec, classes=n_classes,
                       trained_grid=30 if "ade" in name else 24, dtype=dtype)
-    if "mobilenet_v2" in name or "mobilenet-v2" in name:
+    if family == "mobilenet_v2":
         from flairtpu.models.mobilenet_v2 import MobileNetV2Seg
 
-        dm = re.search(r"_(\d+\.\d+)_", name)  # google/deeplabv3_mobilenet_v2_1.0_513
-        return MobileNetV2Seg(classes=n_classes,
-                              depth_multiplier=float(dm.group(1)) if dm else 1.0,
+        return MobileNetV2Seg(classes=n_classes, depth_multiplier=float(spec),
                               dtype=dtype)
-    if "mobilevit" in name:
+    if family == "mobilevit":
         from flairtpu.models.mobilevit import MOBILEVIT_SPECS, MobileViTSeg
 
-        mv = re.search(r"mobilevit-(xx-small|x-small|small)", name)
-        if not mv:
-            raise NotImplementedError(
-                f"MobileViT size in {org_model!r} is not ported (supported: "
-                "small, x-small, xx-small, e.g. apple/deeplabv3-mobilevit-small).")
-        assert mv.group(1) in MOBILEVIT_SPECS
-        return MobileViTSeg(spec=mv.group(1), classes=n_classes, dtype=dtype)
-    if "beit" in name or "data2vec" in name:
+        assert spec in MOBILEVIT_SPECS
+        return MobileViTSeg(spec=spec, classes=n_classes, dtype=dtype)
+    if family == "mobilevitv2":
+        from flairtpu.models.mobilevitv2 import MobileViTV2Seg
+
+        return MobileViTV2Seg(width=float(spec), classes=n_classes, dtype=dtype)
+    if family == "beit":
         # Data2Vec-Vision is an architectural twin of BEiT in transformers
         # (modeling_data2vec_vision.py is copied module-for-module from
         # modeling_beit.py), so both map onto BeitUperNet.
         from flairtpu.models.beit_upernet import BeitUperNet
 
-        bm = re.search(r"(?:beit|data2vec-vision)-(base|large)", name)
-        if not bm:
-            raise NotImplementedError(
-                f"BEiT size in {org_model!r} is not ported (supported: "
-                "beit-base, beit-large, data2vec-vision-base/large, e.g. "
-                "microsoft/beit-base-finetuned-ade-640-640).")
-        return BeitUperNet(spec=bm.group(1), classes=n_classes, dtype=dtype)
-    if "upernet" in name or sw or cn:
-        if sw:
-            from flairtpu.models.swin_upernet import SwinUperNet
+        return BeitUperNet(spec=spec, classes=n_classes, remat=remat,
+                           dtype=dtype)
+    if family == "swin":
+        from flairtpu.models.swin_upernet import SwinUperNet
 
-            return SwinUperNet(spec=sw.group(1), classes=n_classes, dtype=dtype)
-        if cn:
-            from flairtpu.models.convnext_upernet import ConvNextUperNet
+        return SwinUperNet(spec=spec, classes=n_classes, dtype=dtype)
+    if family == "convnext":
+        from flairtpu.models.convnext_upernet import ConvNextUperNet
 
-            return ConvNextUperNet(spec=cn.group(1), classes=n_classes, dtype=dtype)
-        raise NotImplementedError(
-            f"UperNet backbone in {org_model!r} is not ported (supported: "
-            "swin-tiny/small/base/large, convnext-tiny/small/base/large/xlarge, "
-            "beit-base/large).")
-    m = _SPEC_RE.search(name)
-    if not m:
-        raise NotImplementedError(
-            f"HuggingFace model {org_model!r} is not in the ported TPU-native zoo. "
-            "Supported: SegFormer (nvidia/segformer-b0..b5, nvidia/mit-b0..b5), "
-            "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large), "
-            "UperNet-ConvNeXt (openmmlab/upernet-convnext-*), BEiT "
-            "(microsoft/beit-base/large-finetuned-ade-*), Data2Vec-Vision "
-            "(facebook/data2vec-vision-base/large), DPT (Intel/dpt-large-ade), "
-            "MobileViT (apple/deeplabv3-mobilevit-*) and MobileNetV2 "
-            "(google/deeplabv3_mobilenet_v2_*). For ResNet-U-Net use "
-            "the SegmentationModelsPytorch provider.")
-    return SegformerModel(spec=m.group(1), classes=n_classes, dtype=dtype)
+        return ConvNextUperNet(spec=spec, classes=n_classes, dtype=dtype)
+    assert family == "segformer", family
+    return SegformerModel(spec=spec, classes=n_classes, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""Generate the committed smp key/shape manifests from the torch mirrors.
+
+The smp package is not installed in this environment, so the parity oracles
+for the 9 smp architectures are hand-built mirrors (tests/torch_ref.py) that
+reconstruct segmentation_models_pytorch 0.3.3's exact state-dict surface.
+These manifests freeze that surface as reviewable JSON ({torch_key: shape}),
+so that
+
+1. accidental mirror edits are caught (tests/test_smp_manifest.py
+   regenerates and diffs),
+2. the day a real published checkpoint (e.g. FLAIR-INC_*_weights.pth) is
+   available, `python -m tests.gen_smp_manifests --check <ckpt.pth> <arch>`
+   diffs its keys/shapes against the frozen expectation in seconds.
+
+CAVEAT (documented, per round-2 verdict): the manifests derive from the
+mirrors, not from smp itself — they harden against drift, not against an
+originally-wrong reconstruction. Validation against a real checkpoint is the
+remaining step and needs data egress.
+
+Usage:  python -m tests.gen_smp_manifests            # (re)write manifests
+        python -m tests.gen_smp_manifests --check ckpt.pth resnet34_unet
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+MANIFEST_DIR = Path(__file__).parent / "smp_manifests"
+
+# arch name -> (mirror class name, constructor kwargs); all on resnet34 /
+# 5 input channels / 13 classes (the FLAIR production shape)
+MIRRORS = {
+    "resnet34_unet": ("ResNet34Unet", {}),
+    "resnet34_unetplusplus": ("ResNet34UnetPlusPlus", {}),
+    "resnet34_manet": ("ResNet34MAnet", {}),
+    "resnet34_linknet": ("ResNet34Linknet", {}),
+    "resnet34_fpn": ("ResNet34FPN", {}),
+    "resnet34_pspnet": ("ResNet34PSPNet", {}),
+    "resnet34_deeplabv3": ("ResNet34DeepLabV3", {}),
+    "resnet34_deeplabv3plus": ("ResNet34DeepLabV3Plus", {}),
+    "resnet34_pan": ("ResNet34PAN", {}),
+}
+
+
+def manifest_for(name: str) -> dict[str, list[int]]:
+    from tests import torch_ref
+
+    cls_name, kwargs = MIRRORS[name]
+    model = getattr(torch_ref, cls_name)(in_channels=5, classes=13, **kwargs)
+    return {k: list(v.shape) for k, v in model.state_dict().items()
+            if not k.endswith("num_batches_tracked")}
+
+
+def write_all() -> None:
+    MANIFEST_DIR.mkdir(exist_ok=True)
+    for name in MIRRORS:
+        path = MANIFEST_DIR / f"{name}.json"
+        path.write_text(json.dumps(manifest_for(name), indent=1) + "\n")
+        print(f"wrote {path} ({len(json.loads(path.read_text()))} keys)")
+
+
+def check_checkpoint(ckpt: str, name: str) -> int:
+    """Diff a real torch checkpoint against the frozen manifest."""
+    from flairtpu.models.convert import load_torch_state_dict, normalize_keys
+
+    want = json.loads((MANIFEST_DIR / f"{name}.json").read_text())
+    got = {k: list(v.shape) for k, v in
+           normalize_keys(load_torch_state_dict(ckpt)).items()
+           if not k.endswith("num_batches_tracked")}
+    rc = 0
+    for k in sorted(set(want) - set(got)):
+        print(f"missing in checkpoint: {k} {want[k]}")
+        rc = 1
+    for k in sorted(set(got) - set(want)):
+        print(f"unexpected in checkpoint: {k} {got[k]}")
+        rc = 1
+    for k in sorted(set(want) & set(got)):
+        if want[k] != got[k] and k != "segmentation_head.0.weight" \
+                and k != "segmentation_head.0.bias" \
+                and not k.startswith("encoder.conv1."):
+            # head/stem shapes legitimately vary with classes/channels
+            print(f"shape mismatch {k}: manifest {want[k]} vs ckpt {got[k]}")
+            rc = 1
+    print("OK" if rc == 0 else "MISMATCH")
+    return rc
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--check":
+        sys.exit(check_checkpoint(sys.argv[2], sys.argv[3]))
+    write_all()

@@ -11,6 +11,7 @@ from flairtpu.train.loop import SegmentationTrainer
     "nvidia/segformer-b0-finetuned-ade-512-512",
     "openmmlab/upernet-swin-tiny",
     "apple/deeplabv3-mobilevit-xx-small",
+    "apple/mobilevitv2-0.5-test-256",
     "google/deeplabv3_mobilenet_v2_0.5_513",
 ])
 def test_hf_provider_train_step(org_model, rng):

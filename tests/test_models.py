@@ -134,7 +134,7 @@ def test_factory_from_config():
         create_model({
             "model_framework": {
                 "model_provider": "SegmentationModelsPytorch",
-                "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_pan"},
+                "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_segnet"},
             },
             "n_classes": 3,
         })

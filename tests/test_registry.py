@@ -1,0 +1,129 @@
+"""Config-time model-name validation (flairtpu/models/registry.py).
+
+Locks two properties:
+1. validate_*_config rejects model names the factory cannot build (the
+   reference only errors at smp/transformers construction time,
+   src/flair/model.py:35-50).
+2. The registry and the factory agree: every name the registry accepts
+   builds, every name it rejects raises in the factory too.
+"""
+
+import pytest
+
+from flairtpu import config as cfgmod
+from flairtpu.models import registry
+
+
+def _train_cfg(provider, name):
+    mf = {"model_provider": provider}
+    if provider == "SegmentationModelsPytorch":
+        mf["SegmentationModelsPytorch"] = {"encoder_decoder": name}
+    else:
+        mf["HuggingFace"] = {"org_model": name}
+    return {
+        "paths": {}, "tasks": {}, "model_framework": mf,
+        "channels": [1, 2, 3], "norm_type": "scaling",
+        "classes": {i: [1, f"c{i}"] for i in range(1, 14)},
+    }
+
+
+def test_config_rejects_unported_names():
+    for provider, name in [
+        ("SegmentationModelsPytorch", "vgg16_unet"),
+        ("SegmentationModelsPytorch", "resnet34_frobnicate"),
+        ("SegmentationModelsPytorch", "nonsense"),
+        ("HuggingFace", "Intel/dpt-hybrid-ade"),
+        ("HuggingFace", "facebook/mask2former-ade-semantic"),
+    ]:
+        with pytest.raises(cfgmod.ConfigError):
+            cfgmod.validate_train_config(_train_cfg(provider, name))
+
+
+def test_config_accepts_ported_names():
+    for provider, name in [
+        ("SegmentationModelsPytorch", "resnet34_unet"),
+        ("SegmentationModelsPytorch", "resnext50_32x4d_deeplabv3plus"),
+        ("HuggingFace", "nvidia/segformer-b2-finetuned-ade-512-512"),
+        ("HuggingFace", "openmmlab/upernet-swin-tiny"),
+        ("HuggingFace", "microsoft/beit-base-finetuned-ade-640-640"),
+        ("HuggingFace", "Intel/dpt-large-ade"),
+        ("HuggingFace", "apple/deeplabv3-mobilevit-small"),
+        ("HuggingFace", "google/deeplabv3_mobilenet_v2_1.0_513"),
+    ]:
+        cfgmod.validate_train_config(_train_cfg(provider, name))
+
+
+def test_detect_config_validates_model_name(tmp_path):
+    import numpy as np
+
+    from flairtpu.io.tiff import write_array
+
+    zone = tmp_path / "zone.tif"
+    write_array(zone, np.zeros((3, 64, 64), np.uint8))
+    weights = tmp_path / "w.pth"
+    weights.write_bytes(b"")
+    cfg = {
+        "output_path": str(tmp_path), "input_img_path": str(zone),
+        "channels": [1, 2, 3], "img_pixels_detection": 32, "margin": 4,
+        "output_type": "argmax", "n_classes": 13,
+        "norma_task": [{"norm_type": "scaling"}],
+        "model_weights": str(weights),
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": "mobilenet_v2_pan"},
+        },
+    }
+    with pytest.raises(cfgmod.ConfigError):
+        cfgmod.validate_detect_config(cfg)
+
+
+def test_registry_factory_agree_smp():
+    """Every (encoder, arch) pair the registry accepts must build."""
+    from flairtpu.models.factory import create_model
+
+    # one encoder per block family x every arch keeps this cheap while
+    # covering the whole dispatch table
+    for encoder in ("resnet34", "resnet50"):
+        for arch in registry.SMP_ARCHS:
+            name = f"{encoder}_{arch}"
+            registry.check_smp(name)
+            m = create_model(_train_cfg("SegmentationModelsPytorch", name))
+            assert m is not None
+    with pytest.raises(NotImplementedError):
+        registry.check_smp("vgg16_unet")
+    with pytest.raises(NotImplementedError):
+        create_model(_train_cfg("SegmentationModelsPytorch", "vgg16_unet"))
+
+
+def test_registry_factory_agree_hf():
+    from flairtpu.models.factory import create_model
+
+    good = [
+        "nvidia/mit-b0", "openmmlab/upernet-convnext-tiny",
+        "facebook/data2vec-vision-large-ft1k", "Intel/dpt-base",
+        "apple/deeplabv3-mobilevit-xx-small",
+        "google/deeplabv3_mobilenet_v2_1.4_513",
+    ]
+    for name in good:
+        family, spec = registry.hf_family(name)
+        assert family in registry.HF_FAMILIES
+        m = create_model(_train_cfg("HuggingFace", name))
+        assert m is not None
+    bad = ["openmmlab/upernet-beit-giant", "Intel/dpt-hybrid-base",
+           "some/unknown-model"]
+    for name in bad:
+        with pytest.raises(NotImplementedError):
+            registry.hf_family(name)
+        with pytest.raises(NotImplementedError):
+            create_model(_train_cfg("HuggingFace", name))
+
+
+def test_unknown_ckpt_monitor_raises(tmp_path):
+    """fit() fails fast on a monitor that will never be logged
+    (train/loop.py; the reference's Lightning raises the same way)."""
+    from flairtpu.train.loop import fit
+
+    cfg = _train_cfg("SegmentationModelsPytorch", "resnet34_unet")
+    cfg.update({"batch_size": 2, "ckpt_monitor": "val_lass"})
+    with pytest.raises(ValueError, match="ckpt_monitor"):
+        fit(cfg, {}, {}, tmp_path)

@@ -17,9 +17,16 @@ from flairtpu.models.factory import create_model, init_model
 from flairtpu.train.checkpoints import save_weights_msgpack
 
 
-@pytest.mark.parametrize("encoder_decoder", ["resnet18_fpn", "resnet18_linknet"])
-def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder):
-    zone = rng.integers(0, 255, size=(5, 64, 96)).astype(np.uint8)
+# pan's FPA pyramid needs a stride-16 map >= 8px, hence the larger tile
+@pytest.mark.parametrize("encoder_decoder,tile,zone_hw", [
+    ("resnet18_fpn", 32, (64, 96)),
+    ("resnet18_linknet", 32, (64, 96)),
+    ("resnet18_manet", 32, (64, 96)),
+    ("resnet18_pan", 128, (128, 192)),
+])
+def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder, tile,
+                                     zone_hw):
+    zone = rng.integers(0, 255, size=(5, *zone_hw)).astype(np.uint8)
     zpath = tmp_path / "zone.tif"
     write_array(zpath, zone, transform=Affine.from_origin(0, 100, 0.2, 0.2),
                 crs=2154)
@@ -28,7 +35,7 @@ def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder):
           "SegmentationModelsPytorch": {"encoder_decoder": encoder_decoder}}
     model = create_model({"model_framework": mf, "n_classes": 6,
                           "channels": [1, 2, 3, 4, 5]})
-    params, stats = init_model(model, (1, 32, 32, 5))
+    params, stats = init_model(model, (1, tile, tile, 5))
     weights = tmp_path / "w.msgpack"
     save_weights_msgpack(weights, params, stats)
 
@@ -37,8 +44,8 @@ def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder):
         "output_name": "smp-ARGMAX-S",
         "input_img_path": str(zpath),
         "channels": [1, 2, 3, 4, 5],
-        "img_pixels_detection": 32,
-        "margin": 8,
+        "img_pixels_detection": tile,
+        "margin": tile // 4,
         "output_type": "argmax",
         "n_classes": 6,
         "model_weights": str(weights),
@@ -53,6 +60,6 @@ def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder):
 
     run_pipeline(cfg)
     with TiffReader(Path(cfg["output_path"]) / "smp-ARGMAX-S.tif") as r:
-        assert (r.width, r.height, r.count) == (96, 64, 2)
+        assert (r.width, r.height, r.count) == (zone_hw[1], zone_hw[0], 2)
         assert (r.read(2) > 0).all()
         assert r.read(1).max() < 6

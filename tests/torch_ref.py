@@ -630,3 +630,206 @@ class ResNeXt50Unet(nn.Module):
     def forward(self, x):
         feats = self.encoder(x)
         return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 MAnet mirror (decoders/manet/decoder.py key names)
+# ---------------------------------------------------------------------------
+
+def _conv2d_relu(in_ch: int, out_ch: int, k: int) -> nn.Sequential:
+    """smp base/modules.Conv2dReLU with use_batchnorm=True."""
+    return nn.Sequential(
+        nn.Conv2d(in_ch, out_ch, k, padding=k // 2, bias=False),
+        nn.BatchNorm2d(out_ch), nn.ReLU(inplace=True))
+
+
+class PAB(nn.Module):
+    """smp manet PAB: global-softmax position attention (incl. the flattened
+    softmax and the transpose-free (hw, C)->(C, h, w) reshape)."""
+
+    def __init__(self, in_channels: int, pab_channels: int = 64):
+        super().__init__()
+        self.pab_channels = pab_channels
+        self.in_channels = in_channels
+        self.top_conv = nn.Conv2d(in_channels, pab_channels, 1)
+        self.center_conv = nn.Conv2d(in_channels, pab_channels, 1)
+        self.bottom_conv = nn.Conv2d(in_channels, in_channels, 3, padding=1)
+        self.map_softmax = nn.Softmax(dim=1)
+        self.out_conv = nn.Conv2d(in_channels, in_channels, 3, padding=1)
+
+    def forward(self, x):
+        bsize, _, h, w = x.shape
+        x_top = self.top_conv(x).flatten(2)
+        x_center = self.center_conv(x).flatten(2).transpose(1, 2)
+        x_bottom = self.bottom_conv(x).flatten(2).transpose(1, 2)
+        sp_map = torch.matmul(x_center, x_top)
+        sp_map = self.map_softmax(sp_map.view(bsize, -1)).view(bsize, h * w, h * w)
+        sp_map = torch.matmul(sp_map, x_bottom)
+        sp_map = sp_map.reshape(bsize, self.in_channels, h, w)
+        return self.out_conv(x + sp_map)
+
+
+class MFAB(nn.Module):
+    """smp manet MFAB (dual squeeze-excitation fusion block)."""
+
+    def __init__(self, in_ch: int, skip_ch: int, out_ch: int,
+                 reduction: int = 16):
+        super().__init__()
+        self.hl_conv = nn.Sequential(
+            _conv2d_relu(in_ch, in_ch, 3), _conv2d_relu(in_ch, skip_ch, 1))
+        reduced = max(1, skip_ch // reduction)
+        self.SE_ll = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Conv2d(skip_ch, reduced, 1),
+            nn.ReLU(inplace=True), nn.Conv2d(reduced, skip_ch, 1), nn.Sigmoid())
+        self.SE_hl = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Conv2d(skip_ch, reduced, 1),
+            nn.ReLU(inplace=True), nn.Conv2d(reduced, skip_ch, 1), nn.Sigmoid())
+        self.conv1 = _conv2d_relu(skip_ch + skip_ch, out_ch, 3)
+        self.conv2 = _conv2d_relu(out_ch, out_ch, 3)
+
+    def forward(self, x, skip=None):
+        x = self.hl_conv(x)
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        attention_hl = self.SE_hl(x)
+        if skip is not None:
+            attention_ll = self.SE_ll(skip)
+            attention_hl = attention_hl + attention_ll
+            x = x * attention_hl
+            x = torch.cat([x, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class MAnetDecoder(nn.Module):
+    def __init__(self, encoder_channels=(64, 64, 128, 256, 512),
+                 decoder_channels=(256, 128, 64, 32, 16),
+                 reduction: int = 16, pab_channels: int = 64):
+        super().__init__()
+        enc = list(encoder_channels)[::-1]       # (512, 256, 128, 64, 64)
+        in_chs = [enc[0]] + list(decoder_channels[:-1])
+        skip_chs = enc[1:] + [0]
+        self.center = PAB(enc[0], pab_channels=pab_channels)
+        self.blocks = nn.ModuleList([
+            MFAB(i, s, o, reduction=reduction) if s > 0 else DecoderBlock(i, 0, o)
+            for i, s, o in zip(in_chs, skip_chs, decoder_channels)])
+
+    def forward(self, *features):
+        feats = list(features[1:])[::-1]
+        x, skips = feats[0], feats[1:]
+        x = self.center(x)
+        for i, block in enumerate(self.blocks):
+            x = block(x, skips[i] if i < len(skips) else None)
+        return x
+
+
+class ResNet34MAnet(nn.Module):
+    """smp.create_model('manet', 'resnet34', ...) mirror."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels)
+        self.decoder = MAnetDecoder()
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(16, classes, 3, padding=1))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# smp 0.3.3 PAN mirror (decoders/pan/decoder.py key names)
+# ---------------------------------------------------------------------------
+
+class PanConvBnRelu(nn.Module):
+    """smp pan ConvBnRelu (conv bias=True; submodule names conv/bn)."""
+
+    def __init__(self, in_ch: int, out_ch: int, k: int, padding: int = 0,
+                 add_relu: bool = True):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, k, padding=padding, bias=True)
+        self.bn = nn.BatchNorm2d(out_ch)
+        self.add_relu = add_relu
+        self.activation = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return self.activation(x) if self.add_relu else x
+
+
+class FPABlock(nn.Module):
+    def __init__(self, in_ch: int, out_ch: int):
+        super().__init__()
+        self.branch1 = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), PanConvBnRelu(in_ch, out_ch, 1))
+        self.mid = nn.Sequential(PanConvBnRelu(in_ch, out_ch, 1))
+        self.down1 = nn.Sequential(
+            nn.MaxPool2d(2, 2), PanConvBnRelu(in_ch, 1, 7, padding=3))
+        self.down2 = nn.Sequential(
+            nn.MaxPool2d(2, 2), PanConvBnRelu(1, 1, 5, padding=2))
+        self.down3 = nn.Sequential(
+            nn.MaxPool2d(2, 2), PanConvBnRelu(1, 1, 3, padding=1),
+            PanConvBnRelu(1, 1, 3, padding=1))
+        self.conv2 = PanConvBnRelu(1, 1, 5, padding=2)
+        self.conv1 = PanConvBnRelu(1, 1, 7, padding=3)
+
+    def forward(self, x):
+        h, w = x.size(2), x.size(3)
+        up = dict(mode="bilinear", align_corners=True)
+        b1 = F.interpolate(self.branch1(x), size=(h, w), **up)
+        mid = self.mid(x)
+        x1 = self.down1(x)
+        x2 = self.down2(x1)
+        x3 = self.down3(x2)
+        x3 = F.interpolate(x3, size=(h // 4, w // 4), **up)
+        x2 = self.conv2(x2)
+        x = F.interpolate(x2 + x3, size=(h // 2, w // 2), **up)
+        x1 = self.conv1(x1)
+        x = F.interpolate(x + x1, size=(h, w), **up)
+        return x * mid + b1
+
+
+class GAUBlock(nn.Module):
+    def __init__(self, in_ch: int, out_ch: int):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            PanConvBnRelu(out_ch, out_ch, 1, add_relu=False), nn.Sigmoid())
+        self.conv2 = PanConvBnRelu(in_ch, out_ch, 3, padding=1)
+
+    def forward(self, x, y):
+        h, w = x.size(2), x.size(3)
+        y_up = F.interpolate(y, size=(h, w), mode="bilinear", align_corners=True)
+        return y_up + self.conv2(x) * self.conv1(y)
+
+
+class PANDecoder(nn.Module):
+    def __init__(self, encoder_channels=(64, 64, 128, 256, 512),
+                 decoder_channels: int = 32):
+        super().__init__()
+        self.fpa = FPABlock(encoder_channels[-1], decoder_channels)
+        self.gau3 = GAUBlock(encoder_channels[-2], decoder_channels)
+        self.gau2 = GAUBlock(encoder_channels[-3], decoder_channels)
+        self.gau1 = GAUBlock(encoder_channels[-4], decoder_channels)
+
+    def forward(self, *features):
+        x5 = self.fpa(features[-1])
+        x4 = self.gau3(features[-2], x5)
+        x3 = self.gau2(features[-3], x4)
+        return self.gau1(features[-4], x3)
+
+
+class ResNet34PAN(nn.Module):
+    """smp.create_model('pan', 'resnet34', ...) mirror (encoder os=16)."""
+
+    def __init__(self, in_channels: int = 5, classes: int = 13):
+        super().__init__()
+        self.encoder = ResNet34Encoder(in_channels)
+        _dilate_stage(self.encoder.layer4, 2)
+        self.decoder = PANDecoder()
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(32, classes, 3, padding=1),
+            nn.UpsamplingBilinear2d(scale_factor=4))
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        return self.segmentation_head(self.decoder(*feats))
