@@ -251,6 +251,50 @@ class DeviceZoneRunner:
         return jax.jit(scatter)(cls_tiles, prob_tiles,
                                 inner_pos.reshape(-1, 2))
 
+    def _run_exact_probs_sharded(self, mesh, zone, origins, inner_pos, out_hw):
+        """Multi-chip class_prob: forward sharded over 'data', K-plane scatter.
+
+        Same two-phase shape as :meth:`_run_exact_sharded` — per-device scan
+        produces margin-cropped uint8 probability tiles (no cross-device
+        traffic until the output all-gather), then a replicated sequential
+        scatter writes the (H, W, K) plane in tile order, bit-identical to
+        the single-device :meth:`_run_exact_probs`."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        S, m = self.size, self.margin
+        s = S - 2 * m
+        H, W = out_hw
+        K = self.n_classes
+
+        def local_forward(zone_l, origins_l):  # origins_l (n_local, B, 2)
+            def step(_, org):
+                logits = self._forward_inner(self._gather(zone_l, org))
+                probs = jnp.round(
+                    jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * 255
+                ).astype(jnp.uint8)
+                return None, probs
+
+            _, probs = jax.lax.scan(step, None, origins_l)
+            return probs.reshape(-1, s, s, K)
+
+        sharded_fwd = shard_map(
+            local_forward, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=P("data"))
+        prob_tiles = sharded_fwd(zone, origins)
+
+        def scatter(prob_tiles, inner_pos):
+            def put(plane, tile):
+                p, rc = tile
+                return jax.lax.dynamic_update_slice(
+                    plane, p, (rc[0], rc[1], 0)), None
+
+            plane, _ = jax.lax.scan(put, jnp.zeros((H, W, K), jnp.uint8),
+                                    (prob_tiles, inner_pos))
+            return plane
+
+        return jax.jit(scatter)(prob_tiles, inner_pos.reshape(-1, 2))
+
     def _run_accumulate_sharded(self, mesh, zone, origins, valid, weighted,
                                 out_hw):
         """Multi-chip average / average_weights: each device accumulates
@@ -477,8 +521,9 @@ class DeviceZoneRunner:
             staged: dict | None = None) -> dict:
         """Returns host arrays: {'cls','prob'} or {'probs'} (class_prob).
 
-        With a multi-device ``mesh``, the exact-clipping forward shards tile
-        batches over the 'data' axis (shard_map); other modes run single-device.
+        With a multi-device ``mesh``, every mode (all four stitch methods and
+        both output types) shards tile batches over the 'data' axis
+        (shard_map).
         ``staged`` (from :func:`flairtpu.zone.engine.stage_zone`) supplies a
         pre-read zone and an already-in-flight H2D transfer.
         """
@@ -487,10 +532,9 @@ class DeviceZoneRunner:
         S, m, B = self.size, self.margin, self.batch
         H, W = grid.height, grid.width
         n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-        # all four stitch modes shard the tile grid over the 'data' axis;
-        # class_prob (forced exact clipping) currently runs single-device
-        use_sharded = (mesh is not None and n_dev > 1
-                       and self.output_type == "argmax")
+        # all four stitch modes AND both output types shard the tile grid
+        # over the 'data' axis when a multi-device mesh is given
+        use_sharded = mesh is not None and n_dev > 1
         # pad the zone so every full patch window is a valid static slice:
         # origins live in [0, H+2m-S] (grid clamps the last row/col), so m on
         # each side exactly covers every S-row gather; zones smaller than a
@@ -558,11 +602,18 @@ class DeviceZoneRunner:
             Ho, Wo = max(H, s), max(W, s)
             inner[:, 0] = np.minimum(inner[:, 0], Ho - s)
             inner[:, 1] = np.minimum(inner[:, 1], Wo - s)
-            fn = self._program(("exact-probs", Ho, Wo, S, m, self.batch, pad),
-                               lambda: partial(self._run_exact_probs,
-                                               out_hw=(Ho, Wo), pad=pad))
-            probs = _timed_compute(fn, zone_dev, jnp.asarray(ob),
-                                   jnp.asarray(inner.reshape(-1, B, 2)))[:H, :W]
+            if use_sharded:
+                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
+                probs = np.asarray(self._run_exact_probs_sharded(
+                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
+                    jnp.asarray(inner.reshape(-1, B, 2)),
+                    out_hw=(Ho, Wo)))[:H, :W]
+            else:
+                fn = self._program(("exact-probs", Ho, Wo, S, m, self.batch, pad),
+                                   lambda: partial(self._run_exact_probs,
+                                                   out_hw=(Ho, Wo), pad=pad))
+                probs = _timed_compute(fn, zone_dev, jnp.asarray(ob),
+                                       jnp.asarray(inner.reshape(-1, B, 2)))[:H, :W]
             result = {"probs": np.moveaxis(probs, -1, 0)}
         elif method == "exact-clipping":
             s = S - 2 * m

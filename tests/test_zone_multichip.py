@@ -67,3 +67,25 @@ def test_sharded_overlap_modes_match_single_device(zone_runner, method):
     assert prob_diff.max() <= 1, f"{method}: prob diff {prob_diff.max()}"
     cls_agree = (single["cls"] == sharded["cls"]).mean()
     assert cls_agree > 0.999, f"{method}: class agreement {cls_agree:.5f}"
+
+
+def test_sharded_class_prob_matches_single_device(zone_runner):
+    """class_prob (K-plane payload, forced exact clipping) also shards —
+    round-2 verdict hole: zone/device_engine.py used to run it single-device."""
+    import dataclasses
+
+    p, runner, mesh = zone_runner
+    cfg = dict(runner.config, output_type="class_prob")
+    probs_runner = DeviceZoneRunner(cfg, runner.model, runner.params,
+                                    runner.batch_stats)
+    with TiffReader(p) as r:
+        grid = slice_grid(r.width, r.height, 32, 8, 16, r.transform, r.crs)
+        single = probs_runner.run(r, grid, "exact-clipping")
+        sharded = probs_runner.run(r, grid, "exact-clipping", mesh=mesh)
+        # the reference forces exact clipping for class_prob whatever the
+        # method (compare.py:68) — the sharded path must do the same
+        sharded_avg = probs_runner.run(r, grid, "average", mesh=mesh)
+    assert single["probs"].shape == (4, 96, 112)
+    np.testing.assert_array_equal(single["probs"], sharded["probs"])
+    np.testing.assert_array_equal(single["probs"], sharded_avg["probs"])
+    assert sharded["tiles"] == len(grid)
