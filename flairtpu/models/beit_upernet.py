@@ -177,6 +177,10 @@ class BeitBackbone(nn.Module):
     intermediate: int
     out_indices: Sequence[int]
     trained_window: int
+    # rematerialize each transformer layer on backward (nn.remat): activation
+    # memory drops from O(layers) to O(1) layers — required to train
+    # beit-large at 512^2 on a 16 GB chip
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -195,8 +199,10 @@ class BeitBackbone(nn.Module):
         # is the INPUT to layer i, so these are outputs of layers out_indices-2
         wanted = {i - 2 for i in self.out_indices}
         feats = []
+        layer_cls = (nn.remat(BeitLayer, static_argnums=(2,))  # (self, x, window)
+                     if self.remat else BeitLayer)
         for i in range(self.layers):
-            x = BeitLayer(self.hidden, self.heads, self.intermediate,
+            x = layer_cls(self.hidden, self.heads, self.intermediate,
                           self.trained_window, dtype=self.dtype,
                           name=f"layer{i}")(x, window)
             if i in wanted:
@@ -218,6 +224,7 @@ class BeitUperNet(nn.Module):
     intermediate: int | None = None
     out_indices: Sequence[int] | None = None
     aux_channels: int = 256
+    remat: bool = False  # rematerialize transformer layers (see BeitBackbone)
     dtype: Any = jnp.float32
 
     def _cfg(self):
@@ -235,8 +242,8 @@ class BeitUperNet(nn.Module):
         pr_h, pr_w = H // 16, W // 16
         tokens = BeitBackbone(cfg["hidden"], cfg["layers"], cfg["heads"],
                               cfg["intermediate"], cfg["out_indices"],
-                              self.trained_window, self.dtype,
-                              name="backbone")(x)
+                              self.trained_window, remat=self.remat,
+                              dtype=self.dtype, name="backbone")(x)
         maps = [t[:, 1:, :].reshape(B, pr_h, pr_w, cfg["hidden"])
                 for t in tokens]
         # FPN adapter: 4x, 2x, 1x, 0.5x

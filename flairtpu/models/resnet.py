@@ -154,6 +154,10 @@ class ResNetEncoder(nn.Module):
     # (depth 5 = all four residual stages; PSPNet uses depth 3 = stop after
     # layer2, stride 8)
     depth: int = 5
+    # rematerialize each residual block on the backward pass (jax.checkpoint
+    # via nn.remat): activation memory drops to block boundaries at the cost
+    # of one extra forward — lets batch/resolution scale past HBM
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -167,6 +171,8 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False) -> list[jax.Array]:
         kind, units, groups, base_width = RESNET_SPECS[self.name_spec]
         block = BasicBlock if kind == "basic" else Bottleneck
+        if self.remat:
+            block = nn.remat(block, static_argnums=(2,))  # (self, x, train)
         expansion = 1 if kind == "basic" else 4
         block_kw = {} if kind == "basic" else {"groups": groups,
                                                "base_width": base_width}

@@ -119,6 +119,9 @@ class UnetDecoder(nn.Module):
     """
 
     decoder_channels: Sequence[int] = DEFAULT_DECODER_CHANNELS
+    # rematerialize decoder blocks on backward (training memory knob; the
+    # inner-margin inference path never takes it)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -127,9 +130,11 @@ class UnetDecoder(nn.Module):
         feats = features[1:][::-1]
         x, skips = feats[0], feats[1:]
         if inner_margin is None:
+            block = (nn.remat(DecoderBlock, static_argnums=(3,))
+                     if self.remat else DecoderBlock)  # (self, x, skip, train)
             for i, ch in enumerate(self.decoder_channels):
                 skip = skips[i] if i < len(skips) else None
-                x = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(x, skip, train)
+                x = block(ch, dtype=self.dtype, name=f"block{i}")(x, skip, train)
             return x
 
         size = features[0].shape[1]  # square tiles

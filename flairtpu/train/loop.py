@@ -50,6 +50,13 @@ def default_compute_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+# metric names the epoch loop actually logs — the only valid ckpt_monitor
+# values (the reference's Lightning ModelCheckpoint raises when its monitor
+# never shows up in logged metrics; we fail fast at fit() entry instead)
+_MONITORABLE_METRICS = frozenset(
+    {"val_loss", "val_miou", "train_loss", "train_miou"})
+
+
 @dataclass
 class TrainState:
     params: Any
@@ -90,6 +97,17 @@ class SegmentationTrainer:
             stds=tuple(config.get("norm_stds") or ()),
         )
         self.model = create_model(config, dtype=self.dtype)
+        # gradient accumulation (Lightning accumulate_grad_batches analog,
+        # reference tasks.py:83-93's Trainer knobs): the jitted step scans
+        # `accumulate_steps` microbatches, averaging grads before ONE
+        # optimizer update — effective batch = batch_size at the activation
+        # memory of batch_size / accumulate_steps
+        self.accumulate_steps = int(config.get("accumulate_steps", 1))
+        bs = int(config.get("batch_size", 0) or 0)
+        if self.accumulate_steps > 1 and bs % self.accumulate_steps:
+            raise ValueError(
+                f"batch_size {bs} is not divisible by accumulate_steps "
+                f"{self.accumulate_steps}")
         # optional auxiliary segmentation loss (UperNet family; HF trains with
         # weight 0.4 — the reference's Lightning path never does, so default 0)
         self.aux_weight = float(config.get("auxiliary_loss_weight", 0.0))
@@ -156,9 +174,38 @@ class SegmentationTrainer:
 
     # -- steps --
 
+    def _micro_step(self, params, batch_stats, x, tgt, mtd, dropout_key):
+        """One fwd+bwd on a (micro)batch; returns (grads, stats, loss, cm).
+
+        Shared by the plain train step and the accumulate_steps scan; exposed
+        as a method so tests can replay the accumulation explicitly
+        (tests/test_remat_accum.py).
+        """
+
+        def loss_fn(p):
+            use_aux = self.aux_weight > 0
+            out, mut = self._apply(
+                {"params": p, "batch_stats": batch_stats}, x, mtd,
+                train=True, rngs={"dropout": dropout_key}, mutable=True,
+                return_aux=use_aux)
+            if use_aux:
+                logits, aux = out
+                loss = self._loss(logits, tgt) + \
+                    self.aux_weight * self._loss(aux, tgt)
+                return loss, (mut["batch_stats"], logits)
+            return self._loss(out, tgt), (mut["batch_stats"], out)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        cm = confusion_matrix(jnp.argmax(logits, axis=-1), tgt,
+                              self.num_classes)
+        return grads, new_stats, loss, cm
+
     def train_step(self):
         if self._train_step is not None:
             return self._train_step
+
+        micro = self._micro_step
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, batch_stats, opt_state, img, msk, mtd, rng):
@@ -172,25 +219,40 @@ class SegmentationTrainer:
                 img, tgt = augment_batch(img, tgt, aug_key)
             x = normalize_device(img, src_dtype=np.uint8, **self.norm)
 
-            def loss_fn(p):
-                use_aux = self.aux_weight > 0
-                out, mut = self._apply(
-                    {"params": p, "batch_stats": batch_stats}, x, mtd,
-                    train=True, rngs={"dropout": dropout_key}, mutable=True,
-                    return_aux=use_aux)
-                if use_aux:
-                    logits, aux = out
-                    loss = self._loss(logits, tgt) + \
-                        self.aux_weight * self._loss(aux, tgt)
-                    return loss, (mut["batch_stats"], logits)
-                return self._loss(out, tgt), (mut["batch_stats"], out)
+            A = self.accumulate_steps
+            if A == 1:
+                grads, new_stats, loss, cm = micro(
+                    params, batch_stats, x, tgt, mtd, dropout_key)
+            else:
+                # lax.scan over microbatches: activations live only for one
+                # microbatch; the carry holds the (param-sized) grad sum and
+                # the chained BN stats. Loss = mean over microbatches and
+                # grads averaged — Lightning accumulate_grad_batches
+                # semantics (each microbatch's weighted-CE normalizes by its
+                # own weight sum)
+                B = x.shape[0]
+                xm = x.reshape(A, B // A, *x.shape[1:])
+                tm = tgt.reshape(A, B // A, *tgt.shape[1:])
+                mm = mtd.reshape(A, B // A, *mtd.shape[1:])
+                keys = jax.random.split(dropout_key, A)
 
-            (loss, (new_stats, logits)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+                def scan_fn(carry, mb):
+                    gacc, stats = carry
+                    xs, ts, ms, key = mb
+                    grads, stats, loss, cm = micro(params, stats, xs, ts, ms, key)
+                    gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                    return (gacc, stats), (loss, cm)
+
+                init = (jax.tree_util.tree_map(jnp.zeros_like, params),
+                        batch_stats)
+                (gacc, new_stats), (losses, cms) = jax.lax.scan(
+                    scan_fn, init, (xm, tm, mm, keys))
+                grads = jax.tree_util.tree_map(lambda g: g / A, gacc)
+                loss = jnp.mean(losses)
+                cm = jnp.sum(cms, axis=0)
+
             updates, new_opt = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            preds = jnp.argmax(logits, axis=-1)
-            cm = confusion_matrix(preds, tgt, self.num_classes)
             return params, new_stats, new_opt, loss, cm, next_rng
 
         self._train_step = step
@@ -288,6 +350,15 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         raise SystemExit(
             "batch_size=1 with BatchNorm models is unsupported (reference "
             "tasks.py:14-30 aborts for the same reason); use batch_size >= 2.")
+
+    monitor = config.get("ckpt_monitor", "val_loss")
+    if monitor not in _MONITORABLE_METRICS:
+        # Lightning raises MisconfigurationException when ModelCheckpoint's
+        # monitor never appears in the logged metrics (tasks.py:47-56); fail
+        # fast here instead of silently early-stopping on val_loss.
+        raise ValueError(
+            f"ckpt_monitor {monitor!r} is not a logged metric; "
+            f"valid monitors: {sorted(_MONITORABLE_METRICS)}")
 
     trainer = trainer or SegmentationTrainer(config)
     channels = config["channels"]
@@ -403,7 +474,7 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         # checkpointing/early-stopping follow ckpt_monitor (tasks.py:47-63).
         new_lr = plateau.step(vm["val_loss"])
         trainer.opt_state = set_learning_rate(trainer.opt_state, new_lr)
-        if stopper.step(metrics.get(manager.monitor, vm["val_loss"])):
+        if stopper.step(metrics[manager.monitor]):
             progress(f"    [x] early stopping at epoch {epoch + 1}")
             break
 
