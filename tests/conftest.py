@@ -20,6 +20,25 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules dominated by torch-oracle parity or end-to-end pipeline runs (the
+# suite's wall-time tail). The default `pytest tests/` still runs everything;
+# the developer loop uses `-m "not slow"` (<15 min) — see CLAUDE.md.
+SLOW_MODULES = {
+    "test_beit_upernet", "test_swin_upernet", "test_convnext_upernet",
+    "test_dpt", "test_segformer", "test_mobile_seg", "test_mobilevitv2",
+    "test_smp_extra", "test_manet_pan", "test_smp_manifest", "test_models",
+    "test_hf_trainer_smoke", "test_train_e2e", "test_metadata_train",
+    "test_zone_e2e", "test_zone_batch", "test_zone_hf_model",
+    "test_zone_smp_archs", "test_zone_multichip", "test_multihost",
+    "test_remat_accum", "test_dry_dock",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
