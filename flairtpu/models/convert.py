@@ -50,6 +50,18 @@ def normalize_keys(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 _LAYER_RE = re.compile(r"^encoder\.layer(\d+)\.(\d+)\.(.+)$")
+# EfficientNet encoder (smp wraps efficientnet-pytorch: encoder._conv_stem /
+# encoder._blocks.{j}.{_expand_conv,_bn0,_depthwise_conv,_bn1,_se_reduce,
+# _se_expand,_project_conv,_bn2})
+_EN_CONV_RE = re.compile(
+    r"^encoder\._blocks\.(\d+)\."
+    r"(_expand_conv|_depthwise_conv|_project_conv|_se_reduce|_se_expand)"
+    r"\.(weight|bias)$")
+_EN_BN_RE = re.compile(r"^encoder\._blocks\.(\d+)\.(_bn0|_bn1|_bn2)\.(.+)$")
+_EN_CONV_NAME = {"_expand_conv": "expand_conv", "_depthwise_conv": "dw_conv",
+                 "_project_conv": "project_conv", "_se_reduce": "se_reduce",
+                 "_se_expand": "se_expand"}
+_EN_BN_NAME = {"_bn0": "expand_bn", "_bn1": "dw_bn", "_bn2": "project_bn"}
 _BLOCK_RE = re.compile(r"^decoder\.blocks\.(x_\d+_\d+|\d+)\.(conv[12])\.([01])\.(.+)$")
 _MLP_RE = re.compile(r"^enc\.enc_mlp\.(\d+)\.(weight|bias)$")
 _DEEPLAB_RE = re.compile(r"^decoder\.(aspp|block1|block2)\.(.+)$")
@@ -128,6 +140,26 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
             continue
         if key.startswith("encoder.bn1."):
             put_bn(("encoder", "bn1"), key.rsplit(".", 1)[1], arr)
+            continue
+        # --- efficientnet encoder ---
+        if key == "encoder._conv_stem.weight":
+            put("params", ("encoder", "stem_conv", "kernel"),
+                _convert_tensor("weight", arr, "conv"))
+            continue
+        if key.startswith("encoder._bn0."):
+            put_bn(("encoder", "stem_bn"), key.rsplit(".", 1)[1], arr)
+            continue
+        m = _EN_CONV_RE.match(key)
+        if m:
+            j, name, leaf = m.groups()
+            put("params", ("encoder", f"block{j}", _EN_CONV_NAME[name],
+                           "kernel" if leaf == "weight" else leaf),
+                _convert_tensor(leaf, arr, "conv"))
+            continue
+        m = _EN_BN_RE.match(key)
+        if m:
+            j, name, leaf = m.groups()
+            put_bn(("encoder", f"block{j}", _EN_BN_NAME[name]), leaf, arr)
             continue
         # --- encoder stages ---
         m = _LAYER_RE.match(key)

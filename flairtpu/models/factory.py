@@ -57,67 +57,66 @@ class FlairSegmentationModel(nn.Module):
     remat: bool = False
     dtype: Any = jnp.float32
 
+    def _make_encoder(self, **kw):
+        """Encoder family dispatch (resnet/resnext vs efficientnet)."""
+        if self.encoder_name.startswith("efficientnet"):
+            from flairtpu.models.efficientnet import EfficientNetEncoder
+
+            return EfficientNetEncoder(name_spec=self.encoder_name,
+                                       remat=self.remat, dtype=self.dtype, **kw)
+        return ResNetEncoder(name_spec=self.encoder_name, remat=self.remat,
+                             dtype=self.dtype, **kw)
+
     def setup(self):
         if self.arch == "unet":
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         remat=self.remat, dtype=self.dtype)
+            self.encoder = self._make_encoder()
             self.decoder = UnetDecoder(remat=self.remat, dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
         elif self.arch == "unetplusplus":
             from flairtpu.models.unet import UnetPlusPlusDecoder
 
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         remat=self.remat, dtype=self.dtype)
+            self.encoder = self._make_encoder()
             self.decoder = UnetPlusPlusDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
         elif self.arch == "deeplabv3plus":
             from flairtpu.models.deeplab import DeepLabV3PlusDecoder
 
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         output_stride=16, remat=self.remat,
-                                         dtype=self.dtype)
+            self.encoder = self._make_encoder(output_stride=16)
             self.decoder = DeepLabV3PlusDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
         elif self.arch == "deeplabv3":
             from flairtpu.models.smp_extra import DeepLabV3Decoder
 
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         output_stride=8, remat=self.remat,
-                                         dtype=self.dtype)
+            self.encoder = self._make_encoder(output_stride=8)
             self.decoder = DeepLabV3Decoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
         elif self.arch == "fpn":
             from flairtpu.models.smp_extra import FPNDecoder
 
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         remat=self.remat, dtype=self.dtype)
+            self.encoder = self._make_encoder()
             self.decoder = FPNDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
         elif self.arch == "pspnet":
             from flairtpu.models.smp_extra import PSPDecoder
 
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         depth=3, remat=self.remat,
-                                         dtype=self.dtype)
+            self.encoder = self._make_encoder(depth=3)
             self.decoder = PSPDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=3,
                                                       dtype=self.dtype)
         elif self.arch == "linknet":
             from flairtpu.models.smp_extra import LinknetDecoder
 
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         remat=self.remat, dtype=self.dtype)
+            self.encoder = self._make_encoder()
             self.decoder = LinknetDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=1,
                                                       dtype=self.dtype)
         elif self.arch == "manet":
             from flairtpu.models.manet import MAnetDecoder
 
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         remat=self.remat, dtype=self.dtype)
+            self.encoder = self._make_encoder()
             self.decoder = MAnetDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=3,
                                                       dtype=self.dtype)
@@ -125,9 +124,7 @@ class FlairSegmentationModel(nn.Module):
             from flairtpu.models.pan import PANDecoder
 
             # smp's PAN hardcodes encoder_output_stride=16 (decoders/pan/model.py)
-            self.encoder = ResNetEncoder(name_spec=self.encoder_name,
-                                         output_stride=16, remat=self.remat,
-                                         dtype=self.dtype)
+            self.encoder = self._make_encoder(output_stride=16)
             self.decoder = PANDecoder(dtype=self.dtype)
             self.segmentation_head = SegmentationHead(self.classes, kernel=3,
                                                       dtype=self.dtype)

@@ -25,7 +25,8 @@ SMP_ARCHS = ("unet", "unetplusplus", "manet", "linknet", "fpn", "pspnet",
 # encoder families ported to Flax (smp.create_model's encoder_name argument)
 RESNET_ENCODERS = ("resnet18", "resnet34", "resnet50", "resnet101",
                    "resnet152", "resnext50_32x4d", "resnext101_32x8d")
-SMP_ENCODERS = RESNET_ENCODERS
+EFFICIENTNET_ENCODERS = tuple(f"efficientnet-b{i}" for i in range(8))
+SMP_ENCODERS = RESNET_ENCODERS + EFFICIENTNET_ENCODERS
 
 
 def check_smp(encoder_decoder: str) -> tuple[str, str]:

@@ -41,14 +41,18 @@ MIRRORS = {
     "resnet34_deeplabv3": ("ResNet34DeepLabV3", {}),
     "resnet34_deeplabv3plus": ("ResNet34DeepLabV3Plus", {}),
     "resnet34_pan": ("ResNet34PAN", {}),
+    "efficientnet-b0_unet": ("EfficientNetUnet", {"name": "efficientnet-b0"}),
+    "efficientnet-b4_unet": ("EfficientNetUnet", {"name": "efficientnet-b4"}),
 }
 
 
 def manifest_for(name: str) -> dict[str, list[int]]:
-    from tests import torch_ref
+    from tests import torch_ref, torch_ref_efficientnet
 
     cls_name, kwargs = MIRRORS[name]
-    model = getattr(torch_ref, cls_name)(in_channels=5, classes=13, **kwargs)
+    cls = getattr(torch_ref, cls_name, None) or \
+        getattr(torch_ref_efficientnet, cls_name)
+    model = cls(in_channels=5, classes=13, **kwargs)
     return {k: list(v.shape) for k, v in model.state_dict().items()
             if not k.endswith("num_batches_tracked")}
 

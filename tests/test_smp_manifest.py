@@ -37,8 +37,8 @@ def test_converter_consumes_manifest_and_matches_model(name):
     sd = {k: np.zeros(shape, np.float32) for k, shape in manifest.items()}
     variables = convert.torch_to_flax(convert.normalize_keys(sd))
 
-    arch = name.split("_", 1)[1]
-    fm = FlairSegmentationModel(encoder_name="resnet34", arch=arch, classes=13)
+    encoder, arch = name.rsplit("_", 1)
+    fm = FlairSegmentationModel(encoder_name=encoder, arch=arch, classes=13)
     # pan's FPA pyramid needs a stride-16 map >= 8px -> 128^2 inputs
     size = 128 if arch == "pan" else 64
     params, stats = init_model(fm, (1, size, size, 5))
