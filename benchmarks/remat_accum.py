@@ -15,9 +15,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# run as a script from anywhere; PYTHONPATH breaks the axon plugin discovery
+# on this image, so self-insert instead
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def measure(config: dict, size: int = 512, steps_short: int = 2,

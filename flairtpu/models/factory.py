@@ -55,6 +55,8 @@ class FlairSegmentationModel(nn.Module):
     # backward pass — the TPU-native answer to "effective batch beyond HBM"
     # together with accumulate_steps (train/loop.py)
     remat: bool = False
+    # space-to-depth stem execution (resnet family; see resnet.StemConv)
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     def _make_encoder(self, **kw):
@@ -65,7 +67,7 @@ class FlairSegmentationModel(nn.Module):
             return EfficientNetEncoder(name_spec=self.encoder_name,
                                        remat=self.remat, dtype=self.dtype, **kw)
         return ResNetEncoder(name_spec=self.encoder_name, remat=self.remat,
-                             dtype=self.dtype, **kw)
+                             s2d_stem=self.s2d_stem, dtype=self.dtype, **kw)
 
     def setup(self):
         if self.arch == "unet":
@@ -194,6 +196,7 @@ def create_model(config: dict, dtype: Any = jnp.float32) -> FlairSegmentationMod
             classes=int(n_classes),
             use_metadata=bool(config.get("use_metadata", False)),
             remat=bool(config.get("remat", False)),
+            s2d_stem=bool(config.get("s2d_stem", False)),
             dtype=dtype,
         )
 

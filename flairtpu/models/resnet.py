@@ -77,6 +77,50 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     )
 
 
+def _s2d(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (p, q, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _s2d_kernel(w: jax.Array) -> jax.Array:
+    """(7,7,C,O) stride-2 pad-3 kernel -> equivalent (4,4,4C,O) stride-1
+    pad-(2,1) kernel on space-to-depth input (one leading zero row/col)."""
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, O)
+    C, O = w.shape[2], w.shape[3]
+    w2 = wp.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    return w2.reshape(4, 4, 4 * C, O)
+
+
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, optionally applied via space-to-depth repack.
+
+    Owns the torchvision-shaped (7,7,C,64) kernel either way (checkpoint
+    layout unchanged; the repack happens inside the forward), so ``s2d`` is
+    a pure execution-strategy knob: identical math, different MXU tiling —
+    the standard TPU ResNet transform for lane-starved low-channel stems.
+    """
+
+    features: int = 64
+    s2d: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, x.shape[-1], self.features), jnp.float32)
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        w2 = _s2d_kernel(w).astype(x.dtype)
+        return jax.lax.conv_general_dilated(
+            _s2d(x), w2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
     """torchvision BasicBlock: 3x3-bn-relu-3x3-bn + (optional 1x1 downsample)."""
 
@@ -158,6 +202,9 @@ class ResNetEncoder(nn.Module):
     # via nn.remat): activation memory drops to block boundaries at the cost
     # of one extra forward — lets batch/resolution scale past HBM
     remat: bool = False
+    # execute the stem via space-to-depth repack (StemConv.s2d) — identical
+    # math and checkpoint layout, different MXU tiling
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -178,7 +225,8 @@ class ResNetEncoder(nn.Module):
                                                "base_width": base_width}
 
         features = [x]
-        y = conv(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
+        y = StemConv(64, s2d=self.s2d_stem, dtype=self.dtype,
+                     name="conv1")(x.astype(self.dtype))
         y = batch_norm(self.dtype, "bn1")(y, use_running_average=not train)
         y = nn.relu(y)
         features.append(y)  # stride 2

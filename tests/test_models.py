@@ -193,3 +193,21 @@ def test_inner_margin_decode_bit_identical(size, margin, rng):
     got = np.asarray(fm.apply(variables, x, train=False, inner_margin=margin))
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
+
+
+def test_s2d_stem_numerically_equivalent(rng):
+    """StemConv s2d=True (space-to-depth repack) must reproduce the 7x7/s2
+    stem: same parameter tree, same logits (an execution-strategy knob for
+    TPU MXU tiling, benchmarks/stem_s2d.py)."""
+    cfg = {"model_framework": {
+        "model_provider": "SegmentationModelsPytorch",
+        "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_unet"}},
+        "n_classes": 5, "channels": [1, 2, 3]}
+    m0 = create_model(cfg)
+    m1 = create_model(dict(cfg, s2d_stem=True))
+    params, stats = init_model(m0, (1, 64, 64, 3))
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    a = m0.apply({"params": params, "batch_stats": stats}, x, train=False)
+    b = m1.apply({"params": params, "batch_stats": stats}, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-4)
