@@ -53,3 +53,17 @@ def test_export_cli(tmp_path):
     out = tmp_path / "m.stablehlo"
     tools_main(["export-model", "--conf", str(conf), "--out", str(out)])
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_export_new_archs(tmp_path, rng):
+    """The round-3 additions (manet, efficientnet encoder) export through
+    the same jax.export path."""
+    for ed in ("resnet18_manet", "efficientnet-b0_unet"):
+        cfg = dict(CFG, model_framework={
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": ed}})
+        out = export_model(cfg, tmp_path / f"{ed}.stablehlo",
+                           dtype=jnp.float32)
+        fn = load_exported(out)
+        x = rng.integers(0, 255, size=(2, 32, 32, 5)).astype(np.uint8)
+        assert np.asarray(fn(x)).shape == (2, 32, 32, 5)

@@ -23,6 +23,7 @@ from flairtpu.train.checkpoints import save_weights_msgpack
     ("resnet18_linknet", 32, (64, 96)),
     ("resnet18_manet", 32, (64, 96)),
     ("resnet18_pan", 128, (128, 192)),
+    ("efficientnet-b0_unet", 32, (64, 96)),
 ])
 def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder, tile,
                                      zone_hw):
