@@ -89,7 +89,9 @@ def _validate_model_name(mf: dict) -> None:
 
     try:
         validate_model_framework(mf)
-    except NotImplementedError as e:
+    except (NotImplementedError, ValueError) as e:
+        # ValueError covers encoder/arch incompatibilities (e.g. vgg/densenet
+        # with the dilated archs, mirroring smp's make_dilated errors)
         raise ConfigError(str(e)) from None
     except KeyError as e:
         raise ConfigError(f"model_framework is missing key {e}.") from None

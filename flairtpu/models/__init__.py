@@ -8,6 +8,10 @@
 - :mod:`flairtpu.models.deeplab` — DeepLabV3+ ASPP decoder (smp topology).
 - :mod:`flairtpu.models.smp_extra` — FPN, PSPNet, LinkNet and DeepLabV3
   (non-plus) decoders, completing the smp architecture set.
+- :mod:`flairtpu.models.efficientnet` — EfficientNet-b0..b7 smp encoders
+  (TF static same padding, SE/swish/drop-connect).
+- :mod:`flairtpu.models.tv_encoders` — the torchvision-backed smp encoder
+  families: mobilenet_v2, vgg11..vgg19(_bn), densenet121/161/169/201.
 - :mod:`flairtpu.models.segformer` / ``swin_upernet`` / ``convnext_upernet`` /
   ``beit_upernet`` (also serving Data2Vec-Vision) / ``dpt`` / ``mobilevit`` /
   ``mobilenet_v2`` — the HuggingFace-provider families (the full transformers

@@ -62,6 +62,29 @@ _EN_CONV_NAME = {"_expand_conv": "expand_conv", "_depthwise_conv": "dw_conv",
                  "_project_conv": "project_conv", "_se_reduce": "se_reduce",
                  "_se_expand": "se_expand"}
 _EN_BN_NAME = {"_bn0": "expand_bn", "_bn1": "dw_bn", "_bn2": "project_bn"}
+# torchvision-backed smp encoders (models/tv_encoders.py): mobilenet_v2
+# (torchvision features.{i} InvertedResiduals + ConvBNReLU stem/head), vgg
+# (flat conv/bn Sequential indices) and densenet (named blocks/transitions)
+_TV_STEM_RE = re.compile(r"^encoder\.features\.(0|18)\.([01])\.(.+)$")
+_TV_IR_RE = re.compile(r"^encoder\.features\.(\d+)\.conv\.(.+)$")
+_TV_VGG_RE = re.compile(
+    r"^encoder\.features\.(\d+)\."
+    r"(weight|bias|running_mean|running_var|num_batches_tracked)$")
+_TV_DN_RE = re.compile(r"^encoder\.features\.([a-z][\w.]*)\.([^.]+)$")
+
+
+def _densenet_flax_path(path: str) -> tuple[str, ...]:
+    """features.<dotted torch name> -> tv_encoders flax module path."""
+    parts = path.split(".")
+    if len(parts) == 1:
+        return (parts[0],)  # conv0 / norm0 / norm5
+    if parts[0].startswith("denseblock") and len(parts) == 3:
+        b = parts[0][len("denseblock"):]
+        l = parts[1][len("denselayer"):]
+        return (f"db{b}_l{l}", parts[2])  # DenseLayer submodule
+    if parts[0].startswith("transition") and len(parts) == 2:
+        return (f"tr{parts[0][len('transition'):]}_{parts[1]}",)
+    raise KeyError(f"unrecognized densenet encoder path {path!r}")
 _BLOCK_RE = re.compile(r"^decoder\.blocks\.(x_\d+_\d+|\d+)\.(conv[12])\.([01])\.(.+)$")
 _MLP_RE = re.compile(r"^enc\.enc_mlp\.(\d+)\.(weight|bias)$")
 _DEEPLAB_RE = re.compile(r"^decoder\.(aspp|block1|block2)\.(.+)$")
@@ -117,6 +140,7 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
     """Map a normalized smp-style state dict to {'params':..., 'batch_stats':...}."""
     params: dict = {}
     stats: dict = {}
+    vgg_bn_idx: set | None = None  # lazily: features indices with running stats
 
     def put(collection: str, path: tuple[str, ...], value: np.ndarray):
         tree = params if collection == "params" else stats
@@ -160,6 +184,69 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
         if m:
             j, name, leaf = m.groups()
             put_bn(("encoder", f"block{j}", _EN_BN_NAME[name]), leaf, arr)
+            continue
+        # --- mobilenet_v2 encoder stem/head (ConvBNReLU at features.0/.18) ---
+        m = _TV_STEM_RE.match(key)
+        if m:
+            i, sub, leaf = m.groups()
+            if sub == "0":
+                put("params", ("encoder", f"f{i}_conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                put_bn(("encoder", f"f{i}_bn"), leaf, arr)
+            continue
+        # --- mobilenet_v2 encoder blocks (torchvision InvertedResidual) ---
+        m = _TV_IR_RE.match(key)
+        if m:
+            i, rest = m.groups()
+            parts = rest.split(".")
+            mod = ("encoder", f"f{i}")
+            # torchvision width-1.0 layout: features.1 is the lone
+            # expand_ratio-1 block (conv = [dw ConvBNReLU, project, bn]);
+            # all others are [expand, dw, project, bn]
+            expandless = i == "1"
+            if len(parts) == 3:  # ConvBNReLU member: (j, 0 conv | 1 bn, leaf)
+                j, sub, leaf = parts
+                name = "dw" if (expandless or j == "1") else "expand"
+                if sub == "0":
+                    put("params", mod + (name, "kernel"),
+                        _convert_tensor("weight", arr, "conv"))
+                else:
+                    put_bn(mod + (f"{name}_bn",), leaf, arr)
+            else:  # (j, leaf): the 1x1 linear projection conv or its BN
+                leaf = parts[1]
+                if leaf == "weight" and arr.ndim == 4:
+                    put("params", mod + ("project", "kernel"),
+                        _convert_tensor("weight", arr, "conv"))
+                else:
+                    put_bn(mod + ("project_bn",), leaf, arr)
+            continue
+        # --- vgg encoder (flat torchvision features indices) ---
+        m = _TV_VGG_RE.match(key)
+        if m:
+            i, leaf = m.groups()
+            if vgg_bn_idx is None:
+                vgg_bn_idx = {
+                    k.split(".")[2] for k in sd
+                    if k.startswith("encoder.features.")
+                    and k.endswith(".running_mean") and k.count(".") == 3}
+            if i in vgg_bn_idx:
+                put_bn(("encoder", f"f{i}"), leaf, arr)
+            else:  # conv (bias=True in torchvision VGG)
+                put("params", ("encoder", f"f{i}",
+                               "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            continue
+        # --- densenet encoder (named blocks/transitions) ---
+        m = _TV_DN_RE.match(key)
+        if m:
+            path, leaf = m.groups()
+            mod = ("encoder",) + _densenet_flax_path(path)
+            if mod[-1].startswith("conv") or mod[-1].endswith("conv"):
+                put("params", mod + ("kernel",),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                put_bn(mod, leaf, arr)
             continue
         # --- encoder stages ---
         m = _LAYER_RE.match(key)

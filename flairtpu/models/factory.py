@@ -60,12 +60,28 @@ class FlairSegmentationModel(nn.Module):
     dtype: Any = jnp.float32
 
     def _make_encoder(self, **kw):
-        """Encoder family dispatch (resnet/resnext vs efficientnet)."""
+        """Encoder family dispatch (resnet/resnext, efficientnet, and the
+        torchvision-backed mobilenet_v2/vgg/densenet families)."""
         if self.encoder_name.startswith("efficientnet"):
             from flairtpu.models.efficientnet import EfficientNetEncoder
 
             return EfficientNetEncoder(name_spec=self.encoder_name,
                                        remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name == "mobilenet_v2":
+            from flairtpu.models.tv_encoders import MobileNetV2SmpEncoder
+
+            return MobileNetV2SmpEncoder(remat=self.remat, dtype=self.dtype,
+                                         **kw)
+        if self.encoder_name.startswith("vgg"):
+            from flairtpu.models.tv_encoders import VGGEncoder
+
+            return VGGEncoder(name_spec=self.encoder_name, remat=self.remat,
+                              dtype=self.dtype, **kw)
+        if self.encoder_name.startswith("densenet"):
+            from flairtpu.models.tv_encoders import DenseNetEncoder
+
+            return DenseNetEncoder(name_spec=self.encoder_name,
+                                   remat=self.remat, dtype=self.dtype, **kw)
         return ResNetEncoder(name_spec=self.encoder_name, remat=self.remat,
                              s2d_stem=self.s2d_stem, dtype=self.dtype, **kw)
 

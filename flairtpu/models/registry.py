@@ -26,7 +26,19 @@ SMP_ARCHS = ("unet", "unetplusplus", "manet", "linknet", "fpn", "pspnet",
 RESNET_ENCODERS = ("resnet18", "resnet34", "resnet50", "resnet101",
                    "resnet152", "resnext50_32x4d", "resnext101_32x8d")
 EFFICIENTNET_ENCODERS = tuple(f"efficientnet-b{i}" for i in range(8))
-SMP_ENCODERS = RESNET_ENCODERS + EFFICIENTNET_ENCODERS
+MOBILENET_ENCODERS = ("mobilenet_v2",)
+VGG_ENCODERS = tuple(n for b in ("vgg11", "vgg13", "vgg16", "vgg19")
+                     for n in (b, b + "_bn"))
+DENSENET_ENCODERS = ("densenet121", "densenet161", "densenet169", "densenet201")
+SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
+                + VGG_ENCODERS + DENSENET_ENCODERS)
+
+# smp's VGGEncoder/DenseNetEncoder override make_dilated to raise (pooling
+# downsampling can't be dilated), so the archs that request a dilated
+# encoder — deeplabv3/deeplabv3plus (encoders/_base.py) and pan (its model
+# hardcodes encoder_output_stride=16) — fail for these encoders in smp too
+_NO_DILATION_ENCODERS = frozenset(VGG_ENCODERS + DENSENET_ENCODERS)
+_DILATED_ARCHS = frozenset({"deeplabv3", "deeplabv3plus", "pan"})
 
 
 def check_smp(encoder_decoder: str) -> tuple[str, str]:
@@ -49,6 +61,13 @@ def check_smp(encoder_decoder: str) -> tuple[str, str]:
         raise NotImplementedError(
             f"encoder {encoder!r} not ported (supported: "
             + ", ".join(SMP_ENCODERS) + ")")
+    if arch in _DILATED_ARCHS and encoder in _NO_DILATION_ENCODERS:
+        family = "VGG" if encoder.startswith("vgg") else "DenseNet"
+        raise ValueError(
+            f"{family} encoders do not support dilated mode (pooling "
+            f"downsampling), so {arch!r} cannot use {encoder!r} — smp "
+            "raises the same way (smp/encoders/vgg.py, densenet.py "
+            "make_dilated)")
     return encoder, arch
 
 

@@ -43,15 +43,19 @@ MIRRORS = {
     "resnet34_pan": ("ResNet34PAN", {}),
     "efficientnet-b0_unet": ("EfficientNetUnet", {"name": "efficientnet-b0"}),
     "efficientnet-b4_unet": ("EfficientNetUnet", {"name": "efficientnet-b4"}),
+    "mobilenet_v2_unet": ("MobileNetV2Unet", {}),
+    "vgg16_bn_unet": ("VGGUnet", {"name": "vgg16_bn"}),
+    "densenet121_unet": ("DenseNetUnet", {"name": "densenet121"}),
 }
 
 
 def manifest_for(name: str) -> dict[str, list[int]]:
-    from tests import torch_ref, torch_ref_efficientnet
+    from tests import torch_ref, torch_ref_efficientnet, torch_ref_tv
 
     cls_name, kwargs = MIRRORS[name]
     cls = getattr(torch_ref, cls_name, None) or \
-        getattr(torch_ref_efficientnet, cls_name)
+        getattr(torch_ref_efficientnet, cls_name, None) or \
+        getattr(torch_ref_tv, cls_name)
     model = cls(in_channels=5, classes=13, **kwargs)
     return {k: list(v.shape) for k, v in model.state_dict().items()
             if not k.endswith("num_batches_tracked")}

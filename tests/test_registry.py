@@ -29,11 +29,14 @@ def _train_cfg(provider, name):
 
 def test_config_rejects_unported_names():
     for provider, name in [
-        ("SegmentationModelsPytorch", "vgg16_unet"),
+        ("SegmentationModelsPytorch", "dpn68_unet"),
         ("SegmentationModelsPytorch", "resnet34_frobnicate"),
         ("SegmentationModelsPytorch", "nonsense"),
         ("HuggingFace", "Intel/dpt-hybrid-ade"),
         ("HuggingFace", "facebook/mask2former-ade-semantic"),
+        # encoder/arch incompatibilities (smp make_dilated errors)
+        ("SegmentationModelsPytorch", "vgg11_deeplabv3"),
+        ("SegmentationModelsPytorch", "densenet121_pan"),
     ]:
         with pytest.raises(cfgmod.ConfigError):
             cfgmod.validate_train_config(_train_cfg(provider, name))
@@ -43,6 +46,9 @@ def test_config_accepts_ported_names():
     for provider, name in [
         ("SegmentationModelsPytorch", "resnet34_unet"),
         ("SegmentationModelsPytorch", "resnext50_32x4d_deeplabv3plus"),
+        ("SegmentationModelsPytorch", "mobilenet_v2_pan"),
+        ("SegmentationModelsPytorch", "vgg16_unet"),
+        ("SegmentationModelsPytorch", "densenet169_fpn"),
         ("HuggingFace", "nvidia/segformer-b2-finetuned-ade-512-512"),
         ("HuggingFace", "openmmlab/upernet-swin-tiny"),
         ("HuggingFace", "microsoft/beit-base-finetuned-ade-640-640"),
@@ -70,7 +76,7 @@ def test_detect_config_validates_model_name(tmp_path):
         "model_weights": str(weights),
         "model_framework": {
             "model_provider": "SegmentationModelsPytorch",
-            "SegmentationModelsPytorch": {"encoder_decoder": "mobilenet_v2_pan"},
+            "SegmentationModelsPytorch": {"encoder_decoder": "dpn68_pan"},
         },
     }
     with pytest.raises(cfgmod.ConfigError):
@@ -90,9 +96,12 @@ def test_registry_factory_agree_smp():
             m = create_model(_train_cfg("SegmentationModelsPytorch", name))
             assert m is not None
     with pytest.raises(NotImplementedError):
-        registry.check_smp("vgg16_unet")
+        registry.check_smp("dpn68_unet")
     with pytest.raises(NotImplementedError):
-        create_model(_train_cfg("SegmentationModelsPytorch", "vgg16_unet"))
+        create_model(_train_cfg("SegmentationModelsPytorch", "dpn68_unet"))
+    # vgg/densenet reject the dilated archs in the factory too (via check_smp)
+    with pytest.raises(ValueError, match="dilated"):
+        create_model(_train_cfg("SegmentationModelsPytorch", "vgg11_deeplabv3"))
 
 
 def test_registry_factory_agree_hf():
