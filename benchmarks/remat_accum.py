@@ -95,25 +95,30 @@ def main() -> None:
     if quick:
         points = [dict(p, batch_size=max(2, p["batch_size"] // 64))
                   for p in points[:4]]
-    for p in points:
-        cfg = dict(base, **p)
-        res = measure(cfg, size=size)
-        print(json.dumps({"model": "resnet34_unet", "size": size, **p, **res}),
-              flush=True)
+    only = os.environ.get("BENCH_ONLY")  # "resnet" | "beit" | unset (both)
+    if only != "beit":
+        for p in points:
+            cfg = dict(base, **p)
+            res = measure(cfg, size=size)
+            print(json.dumps({"model": "resnet34_unet", "size": size, **p,
+                              **res}), flush=True)
 
-    # beit-large 512^2 smoke: remat=True must fit where False OOMs
-    for remat in (False, True):
+    # beit-large 512^2 smoke: remat=True must fit where False OOMs; the
+    # dots_saveable point is the selective-remat policy (save matmul
+    # outputs, recompute elementwise/norm/softmax) vs full recompute
+    for remat, policy in ((False, None), (True, None),
+                          (True, "dots_saveable")):
         cfg = dict(base, model_framework={
             "model_provider": "HuggingFace",
             "HuggingFace": {"org_model": "microsoft/beit-large-finetuned-ade-640-640"}},
             batch_size=4 if not quick else 2, remat=remat,
-            auxiliary_loss_weight=0.4)
-        if quick:
+            remat_policy=policy, auxiliary_loss_weight=0.4)
+        if quick or only == "resnet":
             continue
         res = measure(cfg, size=size, steps_short=1, steps_long=3)
         print(json.dumps({"model": "beit-large", "size": size,
                           "batch_size": cfg["batch_size"], "remat": remat,
-                          **res}), flush=True)
+                          "remat_policy": policy, **res}), flush=True)
 
 
 if __name__ == "__main__":

@@ -136,6 +136,15 @@ def validate_train_config(cfg: dict) -> dict:
     # accumulate_grad_batches / torch checkpointing)
     cfg.setdefault("accumulate_steps", 1)
     cfg.setdefault("remat", False)
+    cfg.setdefault("remat_policy", None)
+    if cfg["remat_policy"] is not None:
+        import jax
+
+        if not hasattr(jax.checkpoint_policies, str(cfg["remat_policy"])):
+            raise ConfigError(
+                f"remat_policy {cfg['remat_policy']!r} is not a "
+                "jax.checkpoint_policies member (e.g. dots_saveable, "
+                "dots_with_no_batch_dims_saveable).")
     if not (isinstance(cfg["accumulate_steps"], int) and cfg["accumulate_steps"] >= 1):
         raise ConfigError("accumulate_steps must be an integer >= 1.")
     if cfg.get("batch_size") and cfg["accumulate_steps"] > 1 \

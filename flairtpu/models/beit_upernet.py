@@ -181,6 +181,12 @@ class BeitBackbone(nn.Module):
     # memory drops from O(layers) to O(1) layers — required to train
     # beit-large at 512^2 on a 16 GB chip
     remat: bool = False
+    # jax.checkpoint_policies name for SELECTIVE remat (e.g. "dots_saveable"
+    # saves every matmul output and only recomputes the cheap elementwise/
+    # norm/softmax ops — the standard TPU transformer remat; full remat of
+    # attention measured pathologically slow on this toolchain,
+    # PERFORMANCE.md). None = save nothing (full recompute).
+    remat_policy: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -199,8 +205,13 @@ class BeitBackbone(nn.Module):
         # is the INPUT to layer i, so these are outputs of layers out_indices-2
         wanted = {i - 2 for i in self.out_indices}
         feats = []
-        layer_cls = (nn.remat(BeitLayer, static_argnums=(2,))  # (self, x, window)
-                     if self.remat else BeitLayer)
+        if self.remat:
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            layer_cls = nn.remat(BeitLayer, static_argnums=(2,),  # (self, x, window)
+                                 policy=policy)
+        else:
+            layer_cls = BeitLayer
         for i in range(self.layers):
             x = layer_cls(self.hidden, self.heads, self.intermediate,
                           self.trained_window, dtype=self.dtype,
@@ -225,6 +236,7 @@ class BeitUperNet(nn.Module):
     out_indices: Sequence[int] | None = None
     aux_channels: int = 256
     remat: bool = False  # rematerialize transformer layers (see BeitBackbone)
+    remat_policy: str | None = None  # selective-remat policy (BeitBackbone)
     dtype: Any = jnp.float32
 
     def _cfg(self):
@@ -243,6 +255,7 @@ class BeitUperNet(nn.Module):
         tokens = BeitBackbone(cfg["hidden"], cfg["layers"], cfg["heads"],
                               cfg["intermediate"], cfg["out_indices"],
                               self.trained_window, remat=self.remat,
+                              remat_policy=self.remat_policy,
                               dtype=self.dtype, name="backbone")(x)
         maps = [t[:, 1:, :].reshape(B, pr_h, pr_w, cfg["hidden"])
                 for t in tokens]

@@ -220,7 +220,8 @@ def create_model(config: dict, dtype: Any = jnp.float32) -> FlairSegmentationMod
         from flairtpu.models.segformer import create_hf_model
 
         return create_hf_model(mf["HuggingFace"]["org_model"], int(n_classes),
-                               dtype, remat=bool(config.get("remat", False)))
+                               dtype, remat=bool(config.get("remat", False)),
+                               remat_policy=config.get("remat_policy"))
 
     raise ValueError(
         "model_provider should be either HuggingFace or SegmentationModelsPytorch, "

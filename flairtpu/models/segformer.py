@@ -199,7 +199,8 @@ class SegformerModel(nn.Module):
         return logits
 
 
-def create_hf_model(org_model: str, n_classes: int, dtype, remat: bool = False):
+def create_hf_model(org_model: str, n_classes: int, dtype, remat: bool = False,
+                    remat_policy: str | None = None):
     """Build the Flax port for an HF org/model string.
 
     Name classification lives in flairtpu.models.registry (shared with
@@ -239,7 +240,7 @@ def create_hf_model(org_model: str, n_classes: int, dtype, remat: bool = False):
         from flairtpu.models.beit_upernet import BeitUperNet
 
         return BeitUperNet(spec=spec, classes=n_classes, remat=remat,
-                           dtype=dtype)
+                           remat_policy=remat_policy, dtype=dtype)
     if family == "swin":
         from flairtpu.models.swin_upernet import SwinUperNet
 

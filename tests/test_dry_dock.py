@@ -64,6 +64,48 @@ def test_flair_inc_shaped_pth_loads_strict_every_arch(arch, tmp_path, rng):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("encoder", ["efficientnet-b0", "mobilenet_v2",
+                                     "vgg16_bn", "densenet121"])
+def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
+    """The non-resnet smp encoder families through the same file-on-disk ->
+    load_pretrained strict route (unet decoder)."""
+    from tests import torch_ref_efficientnet as ten
+    from tests import torch_ref_tv as ttv
+
+    builders = {
+        "efficientnet-b0": lambda: ten.EfficientNetUnet(
+            "efficientnet-b0", in_channels=3, classes=15),
+        "mobilenet_v2": lambda: ttv.MobileNetV2Unet(in_channels=3, classes=15),
+        "vgg16_bn": lambda: ttv.VGGUnet("vgg16_bn", in_channels=3, classes=15),
+        "densenet121": lambda: ttv.DenseNetUnet("densenet121", in_channels=3,
+                                                classes=15),
+    }
+    torch.manual_seed(3)
+    tm = builders[encoder]()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.3, 0.3)
+                mod.running_var.uniform_(0.7, 1.3)
+    tm.eval()
+    pth = tmp_path / f"FLAIR-INC_rgb_15cl_{encoder}-unet_weights.pth"
+    torch.save(tm.state_dict(), pth)
+
+    fm = FlairSegmentationModel(encoder_name=encoder, arch="unet", classes=15,
+                                dtype=jnp.float32)
+    params, stats = init_model(fm, (1, 64, 64, 3))
+    variables = load_pretrained(str(pth), {"params": params,
+                                           "batch_stats": stats}, strict=True)
+
+    x = rng.standard_normal((1, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+    got = np.moveaxis(np.asarray(fm.apply(variables, jnp.asarray(x),
+                                          train=False)), -1, 1)
+    assert got.shape == want.shape == (1, 15, 64, 64)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 def test_hf_pth_loads_strict_production_path(tmp_path, rng):
     """One HF family (SegFormer-b0) through the same load_pretrained route."""
     from transformers import SegformerConfig, SegformerForSemanticSegmentation

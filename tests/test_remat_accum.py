@@ -195,3 +195,49 @@ def test_remat_beit_trains(rng):
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_remat_policy_matches_full_remat(rng):
+    """Selective remat (jax.checkpoint_policies.dots_saveable) is a pure
+    execution-strategy knob: identical loss and grads vs full remat, and the
+    config plumbs the policy name to BeitUperNet (factory + validation)."""
+    from flairtpu import config as cfgmod
+    from flairtpu.models.beit_upernet import BeitUperNet
+    from flairtpu.models.factory import create_model, init_model
+
+    kw = dict(spec="base", classes=4, hidden=32, layers=4, heads=2,
+              intermediate=64, out_indices=(2, 3, 4, 5), remat=True,
+              trained_window=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
+
+    results = []
+    for policy in (None, "dots_saveable"):
+        model = BeitUperNet(remat_policy=policy, **kw)
+        params, stats = init_model(model, (1, 32, 32, 3), seed=11)
+
+        def loss_fn(p):
+            out, _ = model.apply({"params": p, "batch_stats": stats}, x,
+                                 train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(0)},
+                                 mutable=["batch_stats"])
+            return jnp.mean(out ** 2)
+
+        results.append(jax.value_and_grad(loss_fn)(params))
+    (l1, g1), (l2, g2) = results
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+    # config-side: the knob validates and reaches the model
+    cfg = {"paths": {}, "tasks": {}, "model_framework": {
+        "model_provider": "HuggingFace",
+        "HuggingFace": {"org_model": "microsoft/beit-base-finetuned-ade-640-640"}},
+        "channels": [1, 2, 3], "norm_type": "scaling",
+        "classes": {i: [1, f"c{i}"] for i in range(1, 5)},
+        "remat": True, "remat_policy": "dots_saveable"}
+    cfgmod.validate_train_config(dict(cfg))
+    m = create_model(cfg)
+    assert m.remat and m.remat_policy == "dots_saveable"
+    with pytest.raises(cfgmod.ConfigError, match="remat_policy"):
+        cfgmod.validate_train_config(dict(cfg, remat_policy="frobnicate"))

@@ -24,6 +24,9 @@ from flairtpu.train.checkpoints import save_weights_msgpack
     ("resnet18_manet", 32, (64, 96)),
     ("resnet18_pan", 128, (128, 192)),
     ("efficientnet-b0_unet", 32, (64, 96)),
+    ("mobilenet_v2_unet", 32, (64, 96)),
+    ("vgg11_unet", 32, (64, 96)),
+    ("densenet121_fpn", 32, (64, 96)),
 ])
 def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder, tile,
                                      zone_hw):
