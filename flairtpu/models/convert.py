@@ -248,12 +248,27 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
             else:
                 put_bn(mod, leaf, arr)
             continue
+        # --- senet encoder stem (pretrainedmodels layer0: conv1..3/bn1..3) ---
+        if key.startswith("encoder.layer0."):
+            _, _, name, leaf = key.split(".")
+            if name.startswith("conv"):
+                put("params", ("encoder", f"layer0_{name}", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                put_bn(("encoder", f"layer0_{name}"), leaf, arr)
+            continue
         # --- encoder stages ---
         m = _LAYER_RE.match(key)
         if m:
             stage, unit, rest = m.group(1), m.group(2), m.group(3)
             mod = ("encoder", f"layer{stage}_{unit}")
-            if rest.startswith("conv"):
+            if rest.startswith("se_module."):
+                # senet SEModule: fc1/fc2 are biased 1x1 convs
+                _, fc, leaf = rest.split(".")
+                put("params", mod + (f"se_{fc}",
+                                     "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            elif rest.startswith("conv"):
                 name, leaf = rest.split(".", 1)
                 put("params", mod + (name, "kernel" if leaf == "weight" else leaf),
                     _convert_tensor(leaf, arr, "conv"))

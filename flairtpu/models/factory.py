@@ -82,6 +82,11 @@ class FlairSegmentationModel(nn.Module):
 
             return DenseNetEncoder(name_spec=self.encoder_name,
                                    remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith(("se_resnet", "se_resnext", "senet")):
+            from flairtpu.models.senet import SENetEncoder
+
+            return SENetEncoder(name_spec=self.encoder_name, remat=self.remat,
+                                dtype=self.dtype, **kw)
         return ResNetEncoder(name_spec=self.encoder_name, remat=self.remat,
                              s2d_stem=self.s2d_stem, dtype=self.dtype, **kw)
 

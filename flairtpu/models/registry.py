@@ -30,8 +30,10 @@ MOBILENET_ENCODERS = ("mobilenet_v2",)
 VGG_ENCODERS = tuple(n for b in ("vgg11", "vgg13", "vgg16", "vgg19")
                      for n in (b, b + "_bn"))
 DENSENET_ENCODERS = ("densenet121", "densenet161", "densenet169", "densenet201")
+SENET_ENCODERS = ("se_resnet50", "se_resnet101", "se_resnet152",
+                  "se_resnext50_32x4d", "se_resnext101_32x4d", "senet154")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
-                + VGG_ENCODERS + DENSENET_ENCODERS)
+                + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS)
 
 # smp's VGGEncoder/DenseNetEncoder override make_dilated to raise (pooling
 # downsampling can't be dilated), so the archs that request a dilated

@@ -30,7 +30,7 @@ SLOW_MODULES = {
     "test_hf_trainer_smoke", "test_train_e2e", "test_metadata_train",
     "test_zone_e2e", "test_zone_batch", "test_zone_hf_model",
     "test_zone_smp_archs", "test_zone_multichip", "test_multihost",
-    "test_remat_accum", "test_dry_dock", "test_tv_encoders",
+    "test_remat_accum", "test_dry_dock", "test_tv_encoders", "test_senet",
 }
 
 
