@@ -71,6 +71,12 @@ _TV_VGG_RE = re.compile(
     r"^encoder\.features\.(\d+)\."
     r"(weight|bias|running_mean|running_var|num_batches_tracked)$")
 _TV_DN_RE = re.compile(r"^encoder\.features\.([a-z][\w.]*)\.([^.]+)$")
+# Xception encoder (models/xception.py): block{i}.rep.{j} separable stacks,
+# block{i}.skip/skipbn residuals, conv3/conv4 exit-flow separables; flax
+# submodules are named by the torch Sequential index (rep{j}_dw/_pw/_bn)
+_XC_BLOCK_RE = re.compile(r"^encoder\.block(\d+)\.(.+)$")
+_XC_EXIT_RE = re.compile(r"^encoder\.conv([34])\.(conv1|pointwise)\.weight$")
+_XC_BN_RE = re.compile(r"^encoder\.bn([1-4])\.(.+)$")
 
 
 def _densenet_flax_path(path: str) -> tuple[str, ...]:
@@ -158,12 +164,45 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
 
     for key, arr in sd.items():
         arr = np.asarray(arr)
-        # --- encoder stem ---
-        if key == "encoder.conv1.weight":
-            put("params", ("encoder", "conv1", "kernel"), _convert_tensor("weight", arr, "conv"))
+        # --- encoder stem (resnet conv1/bn1; xception also conv2/bn2-4) ---
+        if key in ("encoder.conv1.weight", "encoder.conv2.weight"):
+            put("params", ("encoder", key.split(".")[1], "kernel"),
+                _convert_tensor("weight", arr, "conv"))
             continue
-        if key.startswith("encoder.bn1."):
-            put_bn(("encoder", "bn1"), key.rsplit(".", 1)[1], arr)
+        m = _XC_BN_RE.match(key)
+        if m:
+            put_bn(("encoder", f"bn{m.group(1)}"), key.rsplit(".", 1)[1], arr)
+            continue
+        # --- xception exit-flow separables (conv3/conv4) ---
+        m = _XC_EXIT_RE.match(key)
+        if m:
+            i, sub = m.groups()
+            which = "dw" if sub == "conv1" else "pw"
+            put("params", ("encoder", f"conv{i}_{which}", "kernel"),
+                _convert_tensor("weight", arr, "conv"))
+            continue
+        # --- xception blocks ---
+        m = _XC_BLOCK_RE.match(key)
+        if m:
+            i, rest = m.groups()
+            mod = ("encoder", f"block{i}")
+            parts = rest.split(".")
+            leaf = parts[-1]
+            if parts[0] == "rep":
+                j = parts[1]
+                if len(parts) == 4:  # rep.{j}.{conv1|pointwise}.weight
+                    which = "dw" if parts[2] == "conv1" else "pw"
+                    put("params", mod + (f"rep{j}_{which}", "kernel"),
+                        _convert_tensor("weight", arr, "conv"))
+                else:  # rep.{j}.{bn leaf}
+                    put_bn(mod + (f"rep{j}_bn",), leaf, arr)
+            elif parts[0] == "skip":
+                put("params", mod + ("skip", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            elif parts[0] == "skipbn":
+                put_bn(mod + ("skipbn",), leaf, arr)
+            else:
+                raise KeyError(f"unrecognized xception encoder key {key!r}")
             continue
         # --- efficientnet encoder ---
         if key == "encoder._conv_stem.weight":

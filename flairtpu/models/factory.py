@@ -87,6 +87,10 @@ class FlairSegmentationModel(nn.Module):
 
             return SENetEncoder(name_spec=self.encoder_name, remat=self.remat,
                                 dtype=self.dtype, **kw)
+        if self.encoder_name == "xception":
+            from flairtpu.models.xception import XceptionEncoder
+
+            return XceptionEncoder(remat=self.remat, dtype=self.dtype, **kw)
         return ResNetEncoder(name_spec=self.encoder_name, remat=self.remat,
                              s2d_stem=self.s2d_stem, dtype=self.dtype, **kw)
 

@@ -32,14 +32,18 @@ VGG_ENCODERS = tuple(n for b in ("vgg11", "vgg13", "vgg16", "vgg19")
 DENSENET_ENCODERS = ("densenet121", "densenet161", "densenet169", "densenet201")
 SENET_ENCODERS = ("se_resnet50", "se_resnet101", "se_resnet152",
                   "se_resnext50_32x4d", "se_resnext101_32x4d", "senet154")
+XCEPTION_ENCODERS = ("xception",)
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
-                + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS)
+                + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
+                + XCEPTION_ENCODERS)
 
-# smp's VGGEncoder/DenseNetEncoder override make_dilated to raise (pooling
-# downsampling can't be dilated), so the archs that request a dilated
-# encoder — deeplabv3/deeplabv3plus (encoders/_base.py) and pan (its model
-# hardcodes encoder_output_stride=16) — fail for these encoders in smp too
-_NO_DILATION_ENCODERS = frozenset(VGG_ENCODERS + DENSENET_ENCODERS)
+# smp's VGGEncoder/DenseNetEncoder/XceptionEncoder override make_dilated to
+# raise (pooling downsampling can't be dilated), so the archs that request a
+# dilated encoder — deeplabv3/deeplabv3plus (encoders/_base.py) and pan (its
+# model hardcodes encoder_output_stride=16) — fail for these encoders in smp
+# too
+_NO_DILATION_ENCODERS = frozenset(VGG_ENCODERS + DENSENET_ENCODERS
+                                  + XCEPTION_ENCODERS)
 _DILATED_ARCHS = frozenset({"deeplabv3", "deeplabv3plus", "pan"})
 
 
@@ -64,12 +68,13 @@ def check_smp(encoder_decoder: str) -> tuple[str, str]:
             f"encoder {encoder!r} not ported (supported: "
             + ", ".join(SMP_ENCODERS) + ")")
     if arch in _DILATED_ARCHS and encoder in _NO_DILATION_ENCODERS:
-        family = "VGG" if encoder.startswith("vgg") else "DenseNet"
+        family = ("VGG" if encoder.startswith("vgg") else
+                  "Xception" if encoder == "xception" else "DenseNet")
         raise ValueError(
             f"{family} encoders do not support dilated mode (pooling "
             f"downsampling), so {arch!r} cannot use {encoder!r} — smp "
-            "raises the same way (smp/encoders/vgg.py, densenet.py "
-            "make_dilated)")
+            "raises the same way (smp/encoders/vgg.py, densenet.py, "
+            "xception.py make_dilated)")
     return encoder, arch
 
 

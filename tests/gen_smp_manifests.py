@@ -48,18 +48,20 @@ MIRRORS = {
     "densenet121_unet": ("DenseNetUnet", {"name": "densenet121"}),
     "se_resnet50_unet": ("SENetUnet", {"name": "se_resnet50"}),
     "se_resnext50_32x4d_unet": ("SENetUnet", {"name": "se_resnext50_32x4d"}),
+    "xception_unet": ("XceptionUnet", {}),
 }
 
 
 def manifest_for(name: str) -> dict[str, list[int]]:
-    from tests import (torch_ref, torch_ref_efficientnet, torch_ref_senet,
-                       torch_ref_tv)
+    from tests import (torch_ref, torch_ref_efficientnet, torch_ref_ptm,
+                       torch_ref_senet, torch_ref_tv)
 
     cls_name, kwargs = MIRRORS[name]
     cls = getattr(torch_ref, cls_name, None) or \
         getattr(torch_ref_efficientnet, cls_name, None) or \
         getattr(torch_ref_tv, cls_name, None) or \
-        getattr(torch_ref_senet, cls_name)
+        getattr(torch_ref_senet, cls_name, None) or \
+        getattr(torch_ref_ptm, cls_name)
     model = cls(in_channels=5, classes=13, **kwargs)
     return {k: list(v.shape) for k, v in model.state_dict().items()
             if not k.endswith("num_batches_tracked")}
