@@ -81,14 +81,14 @@ def num_classes(cfg: dict) -> int:
 _NORM_TYPES = ("scaling", "custom", "without")
 
 
-def _validate_model_name(mf: dict) -> None:
+def _validate_model_name(mf: dict, n_channels: int | None = None) -> None:
     """Fail at config time on model names the factory would reject 30s later
     (after the model-zoo imports) — the reference defers this to smp/
     transformers construction errors (src/flair/model.py:35-50)."""
     from flairtpu.models.registry import validate_model_framework
 
     try:
-        validate_model_framework(mf)
+        validate_model_framework(mf, n_channels=n_channels)
     except (NotImplementedError, ValueError) as e:
         # ValueError covers encoder/arch incompatibilities (e.g. vgg/densenet
         # with the dilated archs, mirroring smp's make_dilated errors)
@@ -108,11 +108,10 @@ def validate_train_config(cfg: dict) -> dict:
             "model_provider should be either HuggingFace or SegmentationModelsPytorch, "
             f"got {provider!r}."
         )
-    _validate_model_name(mf)
-
     channels = _require(cfg, "channels")
     if not (isinstance(channels, list) and all(isinstance(c, int) for c in channels)):
         raise ConfigError("channels should be a list of 1-based integers.")
+    _validate_model_name(mf, n_channels=len(channels))
 
     norm_type = cfg.get("norm_type", "scaling")
     if norm_type not in _NORM_TYPES:
@@ -233,7 +232,7 @@ def validate_detect_config(cfg: dict) -> dict:
         raise ConfigError("Invalid normalization type: should be custom or scaling.")
 
     if isinstance(cfg.get("model_framework"), dict):
-        _validate_model_name(cfg["model_framework"])
+        _validate_model_name(cfg["model_framework"], n_channels=len(channels))
 
     weights = _require(cfg, "model_weights")
     if not os.path.isfile(weights):

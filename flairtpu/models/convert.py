@@ -77,6 +77,27 @@ _TV_DN_RE = re.compile(r"^encoder\.features\.([a-z][\w.]*)\.([^.]+)$")
 _XC_BLOCK_RE = re.compile(r"^encoder\.block(\d+)\.(.+)$")
 _XC_EXIT_RE = re.compile(r"^encoder\.conv([34])\.(conv1|pointwise)\.weight$")
 _XC_BN_RE = re.compile(r"^encoder\.bn([1-4])\.(.+)$")
+# smp Mix-Vision-Transformer encoder (models/mit.py; smp vendors NVlabs'
+# segformer backbone): patch_embed{s}, block{s}.{j} (fused kv linear, split
+# into the Flax key/value pair), final norm{s} LayerNorms.  Matched BEFORE
+# the xception block regex (mit block keys are block{s}.{j}.*, xception's
+# are block{i}.rep/skip*).
+_MIT_EMBED_RE = re.compile(
+    r"^encoder\.patch_embed([1-4])\.(proj|norm)\.(weight|bias)$")
+_MIT_BLOCK_RE = re.compile(r"^encoder\.block([1-4])\.(\d+)\.(.+)$")
+_MIT_NORM_RE = re.compile(r"^encoder\.norm([1-4])\.(weight|bias)$")
+# torch leaf path within a mit block -> (flax submodule path, tensor kind)
+_MIT_LEAF = {
+    "norm1": (("norm1",), "ln"),
+    "norm2": (("norm2",), "ln"),
+    "attn.q": (("attn", "query"), "linear"),
+    "attn.proj": (("attn", "out"), "linear"),
+    "attn.sr": (("attn", "sr"), "conv"),
+    "attn.norm": (("attn", "sr_norm"), "ln"),
+    "mlp.fc1": (("mlp", "dense1"), "linear"),
+    "mlp.dwconv.dwconv": (("mlp", "dwconv"), "conv"),
+    "mlp.fc2": (("mlp", "dense2"), "linear"),
+}
 
 
 def _densenet_flax_path(path: str) -> tuple[str, ...]:
@@ -168,6 +189,47 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
         if key in ("encoder.conv1.weight", "encoder.conv2.weight"):
             put("params", ("encoder", key.split(".")[1], "kernel"),
                 _convert_tensor("weight", arr, "conv"))
+            continue
+        # --- mit (mix-vision-transformer) encoder ---
+        m = _MIT_EMBED_RE.match(key)
+        if m:
+            s, sub, leaf = m.groups()
+            mod = ("encoder", f"embed{int(s) - 1}")
+            if sub == "proj":
+                put("params", mod + ("proj", "kernel" if leaf == "weight" else "bias"),
+                    _convert_tensor(leaf, arr, "conv"))
+            else:  # LayerNorm
+                put("params", mod + ("norm", "scale" if leaf == "weight" else "bias"),
+                    arr)
+            continue
+        m = _MIT_BLOCK_RE.match(key)
+        if m:
+            s, j, rest = m.groups()
+            mod = ("encoder", f"block{int(s) - 1}_{j}")
+            sub, leaf = rest.rsplit(".", 1)
+            if sub == "attn.kv":
+                # NVlabs fused kv Linear: first C output rows are key, the
+                # last C are value (reshape(B, N, 2, heads, hd) order)
+                C = arr.shape[0] // 2
+                for half, nm in ((arr[:C], "key"), (arr[C:], "value")):
+                    put("params",
+                        mod + ("attn", nm, "kernel" if leaf == "weight" else "bias"),
+                        _convert_tensor(leaf, half, "linear"))
+                continue
+            path, kind = _MIT_LEAF[sub]
+            if kind == "ln":
+                put("params",
+                    mod + path + ("scale" if leaf == "weight" else "bias",), arr)
+            else:
+                put("params",
+                    mod + path + ("kernel" if leaf == "weight" else "bias",),
+                    _convert_tensor(leaf, arr, kind))
+            continue
+        m = _MIT_NORM_RE.match(key)
+        if m:
+            s, leaf = m.groups()
+            put("params", ("encoder", f"norm{int(s) - 1}",
+                           "scale" if leaf == "weight" else "bias"), arr)
             continue
         m = _XC_BN_RE.match(key)
         if m:

@@ -91,6 +91,11 @@ class FlairSegmentationModel(nn.Module):
             from flairtpu.models.xception import XceptionEncoder
 
             return XceptionEncoder(remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith("mit_"):
+            from flairtpu.models.mit import MiTSmpEncoder
+
+            return MiTSmpEncoder(name_spec=self.encoder_name,
+                                 remat=self.remat, dtype=self.dtype, **kw)
         return ResNetEncoder(name_spec=self.encoder_name, remat=self.remat,
                              s2d_stem=self.s2d_stem, dtype=self.dtype, **kw)
 
@@ -214,7 +219,10 @@ def create_model(config: dict, dtype: Any = jnp.float32) -> FlairSegmentationMod
         # checks (flairtpu/models/registry.py) so the two can never drift
         from flairtpu.models.registry import check_smp
 
-        encoder, arch = check_smp(mf["SegmentationModelsPytorch"]["encoder_decoder"])
+        chans = config.get("channels")
+        encoder, arch = check_smp(
+            mf["SegmentationModelsPytorch"]["encoder_decoder"],
+            n_channels=len(chans) if chans else None)
         return FlairSegmentationModel(
             encoder_name=encoder,
             arch=arch,

@@ -144,7 +144,10 @@ class MAnetDecoder(nn.Module):
         x = PABlock(self.pab_channels, dtype=self.dtype, name="center")(x, train)
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            if skip is not None:
+            if skip is not None and skip.shape[-1] > 0:
+                # smp builds MFAB only for skip_channels > 0; zero-channel
+                # skips (the mit encoders' stride-2 dummy) get the plain
+                # block, like smp's `if skip_ch > 0 else DecoderBlock`
                 x = MFABBlock(ch, skip.shape[-1], self.reduction,
                               dtype=self.dtype, name=f"block{i}")(x, skip, train)
             else:

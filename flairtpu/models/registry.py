@@ -33,9 +33,10 @@ DENSENET_ENCODERS = ("densenet121", "densenet161", "densenet169", "densenet201")
 SENET_ENCODERS = ("se_resnet50", "se_resnet101", "se_resnet152",
                   "se_resnext50_32x4d", "se_resnext101_32x4d", "senet154")
 XCEPTION_ENCODERS = ("xception",)
+MIT_ENCODERS = tuple(f"mit_b{i}" for i in range(6))
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
-                + XCEPTION_ENCODERS)
+                + XCEPTION_ENCODERS + MIT_ENCODERS)
 
 # smp's VGGEncoder/DenseNetEncoder/XceptionEncoder override make_dilated to
 # raise (pooling downsampling can't be dilated), so the archs that request a
@@ -43,11 +44,12 @@ SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
 # model hardcodes encoder_output_stride=16) — fail for these encoders in smp
 # too
 _NO_DILATION_ENCODERS = frozenset(VGG_ENCODERS + DENSENET_ENCODERS
-                                  + XCEPTION_ENCODERS)
+                                  + XCEPTION_ENCODERS + MIT_ENCODERS)
 _DILATED_ARCHS = frozenset({"deeplabv3", "deeplabv3plus", "pan"})
 
 
-def check_smp(encoder_decoder: str) -> tuple[str, str]:
+def check_smp(encoder_decoder: str,
+              n_channels: int | None = None) -> tuple[str, str]:
     """Split ``<encoder>_<arch>`` and validate both parts; returns (encoder, arch).
 
     Uses rsplit (vs the reference's bare split, src/flair/model.py:35) so
@@ -68,6 +70,12 @@ def check_smp(encoder_decoder: str) -> tuple[str, str]:
             f"encoder {encoder!r} not ported (supported: "
             + ", ".join(SMP_ENCODERS) + ")")
     if arch in _DILATED_ARCHS and encoder in _NO_DILATION_ENCODERS:
+        if encoder in MIT_ENCODERS:
+            # smp MixVisionTransformerEncoder.make_dilated
+            raise ValueError(
+                "MixVisionTransformer encoder does not support dilated "
+                f"mode, so {arch!r} cannot use {encoder!r} — smp raises "
+                "the same way (smp/encoders/mix_transformer.py)")
         family = ("VGG" if encoder.startswith("vgg") else
                   "Xception" if encoder == "xception" else "DenseNet")
         raise ValueError(
@@ -75,6 +83,22 @@ def check_smp(encoder_decoder: str) -> tuple[str, str]:
             f"downsampling), so {arch!r} cannot use {encoder!r} — smp "
             "raises the same way (smp/encoders/vgg.py, densenet.py, "
             "xception.py make_dilated)")
+    if encoder in MIT_ENCODERS and arch in ("linknet", "unetplusplus"):
+        # smp's UnetPlusPlus model raises explicitly for mit encoders, and
+        # Linknet crashes inside torch (its decoder creates a Conv2d with 0
+        # output channels from the zero-channel stride-2 dummy feature) —
+        # both verified against the torch decoder mirrors
+        raise ValueError(
+            f"{arch!r} does not support the Mix-Vision-Transformer "
+            f"encoders ({encoder!r}): the mit pyramid has a zero-channel "
+            "stride-2 feature that breaks these decoders in smp as well")
+    if (encoder in MIT_ENCODERS and n_channels is not None
+            and n_channels != 3):
+        # smp MixVisionTransformerEncoder.set_in_channels
+        raise ValueError(
+            "MixVisionTransformer encoder does not support in_channels "
+            f"setting other than 3 (got {n_channels} channels) — smp "
+            "raises the same way (smp/encoders/mix_transformer.py)")
     return encoder, arch
 
 
@@ -162,10 +186,11 @@ def hf_family(org_model: str) -> tuple[str, str]:
     return "segformer", m.group(1)
 
 
-def validate_model_framework(mf: dict) -> None:
+def validate_model_framework(mf: dict, n_channels: int | None = None) -> None:
     """Config-time model-name check (raises NotImplementedError on gaps)."""
     provider = mf.get("model_provider")
     if provider == "SegmentationModelsPytorch":
-        check_smp(mf["SegmentationModelsPytorch"]["encoder_decoder"])
+        check_smp(mf["SegmentationModelsPytorch"]["encoder_decoder"],
+                  n_channels=n_channels)
     elif provider == "HuggingFace":
         hf_family(mf["HuggingFace"]["org_model"])

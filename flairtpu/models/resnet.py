@@ -46,6 +46,22 @@ def batch_norm(dtype, name: str | None = None):
     )
 
 
+def _zero_fan_safe(init):
+    """Wrap a kernel initializer so zero-channel convs initialize.
+
+    The mit encoders emit a zero-channel stride-2 dummy feature (smp
+    mix_transformer forward); decoders that concatenate it create convs
+    whose kernels have a zero-sized fan axis — the tensor is empty, so any
+    init is correct, but variance_scaling divides by the fan and raises
+    ZeroDivisionError (torch's kaiming init no-ops on empty weights).
+    """
+    def wrapped(key, shape, dtype=jnp.float32):
+        if 0 in tuple(shape):
+            return jnp.zeros(shape, dtype)
+        return init(key, shape, dtype)
+    return wrapped
+
+
 def conv(features: int, kernel: int, stride: int = 1, padding: int | None = None,
          use_bias: bool = False, dtype=jnp.float32, name: str | None = None,
          dilation: int = 1, groups: int = 1):
@@ -61,6 +77,7 @@ def conv(features: int, kernel: int, stride: int = 1, padding: int | None = None
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
+        kernel_init=_zero_fan_safe(nn.linear.default_kernel_init),
         name=name,
     )
 

@@ -39,9 +39,11 @@ def test_converter_consumes_manifest_and_matches_model(name):
 
     encoder, arch = name.rsplit("_", 1)
     fm = FlairSegmentationModel(encoder_name=encoder, arch=arch, classes=13)
-    # pan's FPA pyramid needs a stride-16 map >= 8px -> 128^2 inputs
+    # pan's FPA pyramid needs a stride-16 map >= 8px -> 128^2 inputs;
+    # mit encoders are RGB-only (smp set_in_channels parity)
     size = 128 if arch == "pan" else 64
-    params, stats = init_model(fm, (1, size, size, 5))
+    in_ch = 3 if encoder.startswith("mit_") else 5
+    params, stats = init_model(fm, (1, size, size, in_ch))
     problems = convert.validate_against(
         variables, {"params": params, "batch_stats": stats}, strict=False)
     assert problems == []

@@ -17,19 +17,23 @@ from flairtpu.models.factory import create_model, init_model
 from flairtpu.train.checkpoints import save_weights_msgpack
 
 
-# pan's FPA pyramid needs a stride-16 map >= 8px, hence the larger tile
-@pytest.mark.parametrize("encoder_decoder,tile,zone_hw", [
-    ("resnet18_fpn", 32, (64, 96)),
-    ("resnet18_linknet", 32, (64, 96)),
-    ("resnet18_manet", 32, (64, 96)),
-    ("resnet18_pan", 128, (128, 192)),
-    ("efficientnet-b0_unet", 32, (64, 96)),
-    ("mobilenet_v2_unet", 32, (64, 96)),
-    ("vgg11_unet", 32, (64, 96)),
-    ("densenet121_fpn", 32, (64, 96)),
+# pan's FPA pyramid needs a stride-16 map >= 8px, hence the larger tile;
+# mit encoders are RGB-only (smp set_in_channels parity) and need a
+# stride-32 map >= 2px, hence tile 64 + 3-channel selection
+@pytest.mark.parametrize("encoder_decoder,tile,zone_hw,channels", [
+    ("resnet18_fpn", 32, (64, 96), [1, 2, 3, 4, 5]),
+    ("resnet18_linknet", 32, (64, 96), [1, 2, 3, 4, 5]),
+    ("resnet18_manet", 32, (64, 96), [1, 2, 3, 4, 5]),
+    ("resnet18_pan", 128, (128, 192), [1, 2, 3, 4, 5]),
+    ("efficientnet-b0_unet", 32, (64, 96), [1, 2, 3, 4, 5]),
+    ("mobilenet_v2_unet", 32, (64, 96), [1, 2, 3, 4, 5]),
+    ("vgg11_unet", 32, (64, 96), [1, 2, 3, 4, 5]),
+    ("densenet121_fpn", 32, (64, 96), [1, 2, 3, 4, 5]),
+    ("xception_unet", 64, (96, 128), [1, 2, 3, 4, 5]),
+    ("mit_b0_unet", 64, (96, 128), [1, 2, 3]),
 ])
 def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder, tile,
-                                     zone_hw):
+                                     zone_hw, channels):
     zone = rng.integers(0, 255, size=(5, *zone_hw)).astype(np.uint8)
     zpath = tmp_path / "zone.tif"
     write_array(zpath, zone, transform=Affine.from_origin(0, 100, 0.2, 0.2),
@@ -38,8 +42,8 @@ def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder, tile,
     mf = {"model_provider": "SegmentationModelsPytorch",
           "SegmentationModelsPytorch": {"encoder_decoder": encoder_decoder}}
     model = create_model({"model_framework": mf, "n_classes": 6,
-                          "channels": [1, 2, 3, 4, 5]})
-    params, stats = init_model(model, (1, tile, tile, 5))
+                          "channels": channels})
+    params, stats = init_model(model, (1, tile, tile, len(channels)))
     weights = tmp_path / "w.msgpack"
     save_weights_msgpack(weights, params, stats)
 
@@ -47,7 +51,7 @@ def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder, tile,
         "output_path": str(tmp_path / "out"),
         "output_name": "smp-ARGMAX-S",
         "input_img_path": str(zpath),
-        "channels": [1, 2, 3, 4, 5],
+        "channels": channels,
         "img_pixels_detection": tile,
         "margin": tile // 4,
         "output_type": "argmax",
