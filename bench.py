@@ -115,6 +115,78 @@ def forward_flops_per_patch() -> float:
     return fl
 
 
+def measure_compute_chain(engine, stride: int) -> float | None:
+    """Device-compute patches/s of the production exact-clipping program,
+    measured RTT-free by chain-length differencing.
+
+    The engine's per-pass ``compute_seconds`` times ONE dispatch with
+    block_until_ready, so on the tunneled backend it includes a fixed
+    dispatch round trip (tens of ms against a ~125 ms zone scan) — see
+    CLAUDE.md timing hazards. Here the SAME jitted program (shared
+    ``_program`` cache, so no recompile) is called in data-dependent chains
+    (each call's origins depend on the previous call's output planes),
+    completion is forced by one scalar D2H fetch, and two chain lengths are
+    differenced so both the fetch latency and the non-overlapped dispatch
+    cost cancel — the methodology of benchmarks/zone_movement_floor.py.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from flairtpu.io import TiffReader
+    from flairtpu.zone.grid import slice_grid
+
+    runner = getattr(engine, "_device_runner", None)
+    if runner is None:
+        return None
+    S, m, B = SIZE, MARGIN, BATCH
+    with TiffReader(_zone_path()) as reader:
+        grid = slice_grid(reader.width, reader.height, S, m, stride,
+                          reader.transform, reader.crs)
+        zone_np = np.ascontiguousarray(
+            np.moveaxis(reader.read([1, 2, 3, 4, 5]), 0, -1))
+    H = W = ZONE
+    pad = ((m, m), (m, m))
+    tiles = list(grid.tiles)
+    n = len(tiles)
+    n_pad = (-n) % B
+    all_tiles = tiles + [tiles[-1]] * n_pad
+    ob = np.array([(t.row0 + m, t.col0 + m) for t in all_tiles],
+                  np.int32).reshape(-1, B, 2)
+    s = S - 2 * m
+    inner = np.array([(min(t.irow0, H - s), min(t.icol0, W - s))
+                      for t in all_tiles], np.int32).reshape(-1, B, 2)
+
+    fn = runner._program(("exact", H, W, S, m, B, pad),
+                         lambda: partial(runner._run_exact, out_hw=(H, W),
+                                         pad=pad))
+    zone_dev = jax.device_put(zone_np)
+    ob_j = jax.device_put(jnp.asarray(ob))
+    inner_j = jax.device_put(jnp.asarray(inner))
+
+    def chain(k: int) -> float:
+        t0 = time.perf_counter()
+        o = ob_j
+        cls = prob = None
+        for _ in range(k):
+            cls, prob = fn(zone_dev, o, inner_j)
+            # origins for the next call depend on this call's planes ->
+            # calls serialize on device; the perturbation is always 0
+            o = ob_j + ((cls[0, 0].astype(jnp.int32)
+                         + prob[0, 0].astype(jnp.int32)) & 0)
+        np.asarray(jnp.sum(cls.astype(jnp.int32)) + jnp.sum(prob.astype(jnp.int32)))
+        return time.perf_counter() - t0
+
+    chain(1)  # warm (program is already compiled by the engine passes)
+    n1, n2 = 2, 6
+    per_call = min((chain(n2) - chain(n1)) / (n2 - n1) for _ in range(3))
+    if per_call <= 0:  # tunnel stall artifact; report nothing rather than lie
+        return None
+    return n / per_call
+
+
 def measure_train_pps() -> float:
     """Flagship train-step throughput (512^2 patches/s/chip), fwd+bwd+opt."""
     import time
@@ -264,9 +336,19 @@ def main() -> None:
         # single-chip efficiency stated against the chip's own peak, not an
         # estimated GPU denominator (VERDICT r2): model FLOPs/s over peak
         line["model_flops_per_patch"] = round(forward_flops_per_patch())
+        # RTT-free device compute (chained-diff, CLAUDE.md methodology):
+        # the single-dispatch compute_seconds above additionally carries one
+        # tunnel dispatch round trip; mfu is stated from the chained number
+        # when available
+        chain_pps = None
+        if not os.environ.get("BENCH_SKIP_CHAIN"):
+            chain_pps = measure_compute_chain(engine, stride)
+        if chain_pps:
+            line["compute_chain_patches_per_sec"] = round(chain_pps, 2)
         if backend == "tpu":
             line["mfu"] = round(
-                forward_flops_per_patch() * compute_pps / PEAK_FLOPS, 4)
+                forward_flops_per_patch() * (chain_pps or compute_pps)
+                / PEAK_FLOPS, 4)
     # train-step throughput, captured by the driver every round (previously
     # only reachable via BENCH_MODE=train, which the driver never runs)
     if not os.environ.get("BENCH_SKIP_TRAIN"):
