@@ -82,6 +82,9 @@ _XC_BN_RE = re.compile(r"^encoder\.bn([1-4])\.(.+)$")
 # into the Flax key/value pair), final norm{s} LayerNorms.  Matched BEFORE
 # the xception block regex (mit block keys are block{s}.{j}.*, xception's
 # are block{i}.rep/skip*).
+# DPN encoder (models/dpn.py): features.conv{s}_{i} dual-path blocks with
+# BnActConv submodules, features.conv1_1 stem, features.conv5_bn_ac tail
+_DPN_RE = re.compile(r"^encoder\.features\.(conv\d+_\d+|conv5_bn_ac)\.(.+)$")
 _MIT_EMBED_RE = re.compile(
     r"^encoder\.patch_embed([1-4])\.(proj|norm)\.(weight|bias)$")
 _MIT_BLOCK_RE = re.compile(r"^encoder\.block([1-4])\.(\d+)\.(.+)$")
@@ -337,6 +340,23 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                 put("params", ("encoder", f"f{i}",
                                "kernel" if leaf == "weight" else leaf),
                     _convert_tensor(leaf, arr, "conv"))
+            continue
+        # --- dpn encoder (named dual-path blocks; BEFORE densenet, whose
+        # catch-all features regex would swallow these keys) ---
+        m = _DPN_RE.match(key)
+        if m:
+            blk, rest = m.groups()
+            parts = rest.split(".")
+            leaf = parts[-1]
+            if parts[-2] == "bn":
+                put_bn(("encoder", blk) + tuple(parts[:-1]), leaf, arr)
+            elif leaf == "weight":
+                # <sub>.conv.weight or the b-flavor c1x1_c1/c1x1_c2.weight
+                put("params",
+                    ("encoder", blk) + tuple(parts[:-1]) + ("kernel",),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                raise KeyError(f"unrecognized dpn encoder key {key!r}")
             continue
         # --- densenet encoder (named blocks/transitions) ---
         m = _TV_DN_RE.match(key)

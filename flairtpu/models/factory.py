@@ -96,6 +96,11 @@ class FlairSegmentationModel(nn.Module):
 
             return MiTSmpEncoder(name_spec=self.encoder_name,
                                  remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith("dpn"):
+            from flairtpu.models.dpn import DPNEncoder
+
+            return DPNEncoder(name_spec=self.encoder_name, remat=self.remat,
+                              dtype=self.dtype, **kw)
         return ResNetEncoder(name_spec=self.encoder_name, remat=self.remat,
                              s2d_stem=self.s2d_stem, dtype=self.dtype, **kw)
 

@@ -34,9 +34,10 @@ SENET_ENCODERS = ("se_resnet50", "se_resnet101", "se_resnet152",
                   "se_resnext50_32x4d", "se_resnext101_32x4d", "senet154")
 XCEPTION_ENCODERS = ("xception",)
 MIT_ENCODERS = tuple(f"mit_b{i}" for i in range(6))
+DPN_ENCODERS = ("dpn68", "dpn68b", "dpn92", "dpn98", "dpn107", "dpn131")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
-                + XCEPTION_ENCODERS + MIT_ENCODERS)
+                + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS)
 
 # smp's VGGEncoder/DenseNetEncoder/XceptionEncoder override make_dilated to
 # raise (pooling downsampling can't be dilated), so the archs that request a

@@ -50,6 +50,8 @@ MIRRORS = {
     "se_resnext50_32x4d_unet": ("SENetUnet", {"name": "se_resnext50_32x4d"}),
     "xception_unet": ("XceptionUnet", {}),
     "mit_b0_unet": ("MiTUnet", {"name": "mit_b0", "in_channels": 3}),
+    "dpn68_unet": ("DPNUnet", {"name": "dpn68"}),
+    "dpn68b_unet": ("DPNUnet", {"name": "dpn68b"}),
 }
 
 
@@ -58,13 +60,14 @@ def manifest_for(name: str) -> dict[str, list[int]]:
                        torch_ref_senet, torch_ref_tv)
 
     cls_name, kwargs = MIRRORS[name]
-    from tests import torch_ref_mit
+    from tests import torch_ref_dpn, torch_ref_mit
 
     cls = getattr(torch_ref, cls_name, None) or \
         getattr(torch_ref_efficientnet, cls_name, None) or \
         getattr(torch_ref_tv, cls_name, None) or \
         getattr(torch_ref_senet, cls_name, None) or \
         getattr(torch_ref_mit, cls_name, None) or \
+        getattr(torch_ref_dpn, cls_name, None) or \
         getattr(torch_ref_ptm, cls_name)
     # kwargs may override in_channels (mit encoders are fixed at 3)
     model = cls(**{"in_channels": 5, "classes": 13, **kwargs})

@@ -29,7 +29,7 @@ def _train_cfg(provider, name):
 
 def test_config_rejects_unported_names():
     for provider, name in [
-        ("SegmentationModelsPytorch", "dpn68_unet"),
+        ("SegmentationModelsPytorch", "timm-resnest14d_unet"),
         ("SegmentationModelsPytorch", "resnet34_frobnicate"),
         ("SegmentationModelsPytorch", "nonsense"),
         ("HuggingFace", "Intel/dpt-hybrid-ade"),
@@ -49,6 +49,8 @@ def test_config_accepts_ported_names():
         ("SegmentationModelsPytorch", "mobilenet_v2_pan"),
         ("SegmentationModelsPytorch", "vgg16_unet"),
         ("SegmentationModelsPytorch", "densenet169_fpn"),
+        ("SegmentationModelsPytorch", "dpn68_unet"),
+        ("SegmentationModelsPytorch", "dpn92_deeplabv3plus"),
         ("HuggingFace", "nvidia/segformer-b2-finetuned-ade-512-512"),
         ("HuggingFace", "openmmlab/upernet-swin-tiny"),
         ("HuggingFace", "microsoft/beit-base-finetuned-ade-640-640"),
@@ -76,7 +78,7 @@ def test_detect_config_validates_model_name(tmp_path):
         "model_weights": str(weights),
         "model_framework": {
             "model_provider": "SegmentationModelsPytorch",
-            "SegmentationModelsPytorch": {"encoder_decoder": "dpn68_pan"},
+            "SegmentationModelsPytorch": {"encoder_decoder": "timm-resnest14d_pan"},
         },
     }
     with pytest.raises(cfgmod.ConfigError):
@@ -96,9 +98,10 @@ def test_registry_factory_agree_smp():
             m = create_model(_train_cfg("SegmentationModelsPytorch", name))
             assert m is not None
     with pytest.raises(NotImplementedError):
-        registry.check_smp("dpn68_unet")
+        registry.check_smp("timm-resnest14d_unet")
     with pytest.raises(NotImplementedError):
-        create_model(_train_cfg("SegmentationModelsPytorch", "dpn68_unet"))
+        create_model(_train_cfg("SegmentationModelsPytorch",
+                                "timm-resnest14d_unet"))
     # vgg/densenet reject the dilated archs in the factory too (via check_smp)
     with pytest.raises(ValueError, match="dilated"):
         create_model(_train_cfg("SegmentationModelsPytorch", "vgg11_deeplabv3"))
