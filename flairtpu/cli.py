@@ -123,6 +123,14 @@ def detect_main(argv=None) -> None:
     config["compare"] = args.compare
     config = cfgmod.validate_detect_config(config)
 
+    if not config.get("use_gpu", True):
+        # the reference runs zone detection on CPU when use_gpu is false
+        # (src/zone_detect/main.py:239 setup_device); map it to the JAX CPU
+        # backend (must happen before any device use)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from flairtpu.zone.engine import run_pipeline
     from flairtpu.zone.batch import batch_metrics_pipeline
 

@@ -195,7 +195,9 @@ def validate_detect_config(cfg: dict) -> dict:
     cfg.setdefault("batch_mode", False)
     cfg.setdefault("compare", False)
     cfg.setdefault("write_dataframe", False)
-    cfg.setdefault("use_gpu", False)  # accepted for YAML parity; device choice is JAX's
+    # reference semantics (src/zone_detect/main.py:239): use_gpu false -> CPU;
+    # here true selects JAX's default backend (the TPU) and false the CPU one
+    cfg.setdefault("use_gpu", True)
     cfg.setdefault("num_worker", 2)
     cfg.setdefault("batch_size", 4)
 

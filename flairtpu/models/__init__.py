@@ -12,6 +12,11 @@
   (TF static same padding, SE/swish/drop-connect).
 - :mod:`flairtpu.models.tv_encoders` — the torchvision-backed smp encoder
   families: mobilenet_v2, vgg11..vgg19(_bn), densenet121/161/169/201.
+- :mod:`flairtpu.models.senet` / ``xception`` / ``dpn`` / ``inception`` /
+  ``mit`` — the pretrainedmodels-backed smp encoder families (se_resnet,
+  se_resnext, senet154, xception, dpn68..131, inceptionv4,
+  inceptionresnetv2) and smp's vendored SegFormer backbone (mit_b0..b5),
+  completing smp 0.3.3's full non-timm encoder surface.
 - :mod:`flairtpu.models.segformer` / ``swin_upernet`` / ``convnext_upernet`` /
   ``beit_upernet`` (also serving Data2Vec-Vision) / ``dpt`` / ``mobilevit`` /
   ``mobilenet_v2`` — the HuggingFace-provider families (the full transformers

@@ -85,6 +85,20 @@ _XC_BN_RE = re.compile(r"^encoder\.bn([1-4])\.(.+)$")
 # DPN encoder (models/dpn.py): features.conv{s}_{i} dual-path blocks with
 # BnActConv submodules, features.conv1_1 stem, features.conv5_bn_ac tail
 _DPN_RE = re.compile(r"^encoder\.features\.(conv\d+_\d+|conv5_bn_ac)\.(.+)$")
+# Inception encoders (models/inception.py).  InceptionV4 keys live in a
+# numeric features.{i} Sequential whose rest is always conv.weight / bn.* /
+# conv.{conv,bn}.* (Mixed_3a/5a) / branch*... — distinct from mobilenet_v2's
+# features.{i}.conv.{j}... and vgg's flat features.{i}.{leaf}.
+# InceptionResNetV2 uses named top attrs (conv2d_1a, mixed_5b, repeat.{j},
+# block8, ...).  Both are matched BEFORE the xception block regex (the irv2
+# ``block8`` top attr collides with xception's block{i} names) and before
+# the mobilenet InvertedResidual regex.
+_INC4_RE = re.compile(
+    r"^encoder\.features\.(\d+)\."
+    r"(conv\.weight|bn\.[a-z_]+|conv\.(?:conv|bn)\.[a-z_]+|branch.+)$")
+_IRV2_RE = re.compile(
+    r"^encoder\.(conv2d_\d+[ab]|mixed_\d+[ab]|repeat(?:_\d+)?\.\d+|block8)"
+    r"\.(.+)$")
 _MIT_EMBED_RE = re.compile(
     r"^encoder\.patch_embed([1-4])\.(proj|norm)\.(weight|bias)$")
 _MIT_BLOCK_RE = re.compile(r"^encoder\.block([1-4])\.(\d+)\.(.+)$")
@@ -234,6 +248,40 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
             put("params", ("encoder", f"norm{int(s) - 1}",
                            "scale" if leaf == "weight" else "bias"), arr)
             continue
+        # --- inception encoders (BasicConv conv/bn leaves, Sequential
+        # branch indices flattened to branch{k}_{j} flax names, residual
+        # blocks' biased 1x1 `conv2d`) ---
+        def _put_inception(mod_prefix: tuple[str, ...], rest: str,
+                           arr=arr) -> None:
+            parts = rest.split(".")
+            leaf, sub = parts[-1], parts[-2]
+            mod = mod_prefix + (("_".join(parts[:-2]),) if parts[:-2] else ())
+            if sub == "bn":
+                put_bn(mod + ("bn",), leaf, arr)
+            elif sub == "conv":
+                put("params", mod + ("conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            elif sub == "conv2d":  # Block35/17/8 residual 1x1, bias=True
+                put("params",
+                    mod + ("conv2d", "kernel" if leaf == "weight" else "bias"),
+                    _convert_tensor(leaf, arr, "conv"))
+            else:
+                raise KeyError(f"unrecognized inception encoder key {key!r}")
+
+        m = _INC4_RE.match(key)
+        if m:
+            i, rest = m.groups()
+            _put_inception(("encoder", f"features{i}"), rest)
+            continue
+        m = _IRV2_RE.match(key)
+        if m:
+            top, rest = m.groups()
+            # xception's block{i} names include block8 — its rest starts
+            # rep/skip, the irv2 residual block's starts branch/conv2d
+            if top != "block8" or rest.split(".", 1)[0] in (
+                    "branch0", "branch1", "conv2d"):
+                _put_inception(("encoder", top.replace(".", "_")), rest)
+                continue
         m = _XC_BN_RE.match(key)
         if m:
             put_bn(("encoder", f"bn{m.group(1)}"), key.rsplit(".", 1)[1], arr)

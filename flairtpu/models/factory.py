@@ -96,6 +96,13 @@ class FlairSegmentationModel(nn.Module):
 
             return MiTSmpEncoder(name_spec=self.encoder_name,
                                  remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith("inception"):
+            from flairtpu.models.inception import (InceptionResNetV2Encoder,
+                                                   InceptionV4Encoder)
+
+            cls = (InceptionV4Encoder if self.encoder_name == "inceptionv4"
+                   else InceptionResNetV2Encoder)
+            return cls(remat=self.remat, dtype=self.dtype, **kw)
         if self.encoder_name.startswith("dpn"):
             from flairtpu.models.dpn import DPNEncoder
 

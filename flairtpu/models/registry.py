@@ -35,17 +35,20 @@ SENET_ENCODERS = ("se_resnet50", "se_resnet101", "se_resnet152",
 XCEPTION_ENCODERS = ("xception",)
 MIT_ENCODERS = tuple(f"mit_b{i}" for i in range(6))
 DPN_ENCODERS = ("dpn68", "dpn68b", "dpn92", "dpn98", "dpn107", "dpn131")
+INCEPTION_ENCODERS = ("inceptionresnetv2", "inceptionv4")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
-                + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS)
+                + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
+                + INCEPTION_ENCODERS)
 
-# smp's VGGEncoder/DenseNetEncoder/XceptionEncoder override make_dilated to
-# raise (pooling downsampling can't be dilated), so the archs that request a
-# dilated encoder — deeplabv3/deeplabv3plus (encoders/_base.py) and pan (its
-# model hardcodes encoder_output_stride=16) — fail for these encoders in smp
-# too
+# smp's VGG/DenseNet/Xception/InceptionV4/InceptionResNetV2 encoders override
+# make_dilated to raise (pooling downsampling can't be dilated), so the archs
+# that request a dilated encoder — deeplabv3/deeplabv3plus (encoders/_base.py)
+# and pan (its model hardcodes encoder_output_stride=16) — fail for these
+# encoders in smp too
 _NO_DILATION_ENCODERS = frozenset(VGG_ENCODERS + DENSENET_ENCODERS
-                                  + XCEPTION_ENCODERS + MIT_ENCODERS)
+                                  + XCEPTION_ENCODERS + MIT_ENCODERS
+                                  + INCEPTION_ENCODERS)
 _DILATED_ARCHS = frozenset({"deeplabv3", "deeplabv3plus", "pan"})
 
 
@@ -78,7 +81,10 @@ def check_smp(encoder_decoder: str,
                 f"mode, so {arch!r} cannot use {encoder!r} — smp raises "
                 "the same way (smp/encoders/mix_transformer.py)")
         family = ("VGG" if encoder.startswith("vgg") else
-                  "Xception" if encoder == "xception" else "DenseNet")
+                  "Xception" if encoder == "xception" else
+                  "InceptionV4" if encoder == "inceptionv4" else
+                  "InceptionResnetV2" if encoder == "inceptionresnetv2" else
+                  "DenseNet")
         raise ValueError(
             f"{family} encoders do not support dilated mode (pooling "
             f"downsampling), so {arch!r} cannot use {encoder!r} — smp "

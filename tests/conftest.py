@@ -31,7 +31,7 @@ SLOW_MODULES = {
     "test_zone_e2e", "test_zone_batch", "test_zone_hf_model",
     "test_zone_smp_archs", "test_zone_multichip", "test_multihost",
     "test_remat_accum", "test_dry_dock", "test_tv_encoders", "test_senet",
-    "test_xception", "test_mit", "test_dpn",
+    "test_xception", "test_mit", "test_dpn", "test_inception",
 }
 
 

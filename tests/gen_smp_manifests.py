@@ -52,6 +52,8 @@ MIRRORS = {
     "mit_b0_unet": ("MiTUnet", {"name": "mit_b0", "in_channels": 3}),
     "dpn68_unet": ("DPNUnet", {"name": "dpn68"}),
     "dpn68b_unet": ("DPNUnet", {"name": "dpn68b"}),
+    "inceptionv4_unet": ("InceptionUnet", {"name": "inceptionv4"}),
+    "inceptionresnetv2_unet": ("InceptionUnet", {"name": "inceptionresnetv2"}),
 }
 
 
@@ -60,7 +62,7 @@ def manifest_for(name: str) -> dict[str, list[int]]:
                        torch_ref_senet, torch_ref_tv)
 
     cls_name, kwargs = MIRRORS[name]
-    from tests import torch_ref_dpn, torch_ref_mit
+    from tests import torch_ref_dpn, torch_ref_inception, torch_ref_mit
 
     cls = getattr(torch_ref, cls_name, None) or \
         getattr(torch_ref_efficientnet, cls_name, None) or \
@@ -68,6 +70,7 @@ def manifest_for(name: str) -> dict[str, list[int]]:
         getattr(torch_ref_senet, cls_name, None) or \
         getattr(torch_ref_mit, cls_name, None) or \
         getattr(torch_ref_dpn, cls_name, None) or \
+        getattr(torch_ref_inception, cls_name, None) or \
         getattr(torch_ref_ptm, cls_name)
     # kwargs may override in_channels (mit encoders are fixed at 3)
     model = cls(**{"in_channels": 5, "classes": 13, **kwargs})

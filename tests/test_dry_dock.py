@@ -66,11 +66,13 @@ def test_flair_inc_shaped_pth_loads_strict_every_arch(arch, tmp_path, rng):
 
 @pytest.mark.parametrize("encoder", ["efficientnet-b0", "mobilenet_v2",
                                      "vgg16_bn", "densenet121", "xception",
-                                     "dpn68"])
+                                     "dpn68", "inceptionv4",
+                                     "inceptionresnetv2"])
 def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
     """The non-resnet smp encoder families through the same file-on-disk ->
     load_pretrained strict route (unet decoder)."""
     from tests import torch_ref_dpn as tdp
+    from tests import torch_ref_inception as tin
     from tests import torch_ref_efficientnet as ten
     from tests import torch_ref_ptm as tpm
     from tests import torch_ref_tv as ttv
@@ -84,6 +86,10 @@ def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
                                                 classes=15),
         "xception": lambda: tpm.XceptionUnet(in_channels=3, classes=15),
         "dpn68": lambda: tdp.DPNUnet("dpn68", in_channels=3, classes=15),
+        "inceptionv4": lambda: tin.InceptionUnet("inceptionv4",
+                                                 in_channels=3, classes=15),
+        "inceptionresnetv2": lambda: tin.InceptionUnet(
+            "inceptionresnetv2", in_channels=3, classes=15),
     }
     torch.manual_seed(3)
     tm = builders[encoder]()
