@@ -5,8 +5,24 @@ TPU-native port of transformers' ``DPTForSemanticSegmentation``
 DPTFeatureFusionStage, DPTSemanticSegmentationHead) — the
 ``Intel/dpt-large-ade`` checkpoints. Completes the
 ``AutoModelForSemanticSegmentation`` registry coverage for the reference
-HuggingFace provider (src/flair/model.py:43-50). The plain-ViT (non-hybrid)
-variant only; ``is_hybrid`` (BiT-backbone) checkpoints raise clearly.
+HuggingFace provider (src/flair/model.py:43-50). Both the plain-ViT and
+the ``is_hybrid`` (R50+ViT-B/16, BiT-backbone) variants are ported.
+
+Hybrid numerics (modeling_dpt.py DPTViTHybridEmbeddings + modeling_bit.py):
+- BiT backbone: weight-standardized convs (per-out-channel (w-mean)/
+  sqrt(biased var + 1e-8)) with TF dynamic SAME padding, GroupNorm(32,
+  eps 1e-5) + ReLU, non-preact bottleneck v1.5 blocks (stride on the 3x3,
+  1x1 GN-only downsample on each stage's first block, relu after the
+  residual add), stem 7x7/2 WSConv -> GN+ReLU -> SAME max-pool 3/2
+  (zero-padded, like torch's DynamicPad2d value=0);
+- ViT runs on the BiT stage-3 map (stride 16) through a biased 1x1
+  projection; cls token + bilinearly resized position embeddings as in
+  the plain variant;
+- neck: stages 0/1 are the raw BiT stage-1/2 maps (reassemble identity,
+  ``neck_ignore_stages=[0, 1]``); stages 2/3 tap ViT layers
+  ``backbone_out_indices[2:]`` with "project" readout, 1x1 projection and
+  factors (1, 0.5) — so the pyramid lands at strides (4, 8, 16, 32) and
+  the fusion ladder/head are shared with the plain variant.
 
 Numerics mirrored from the torch implementation:
 - ViT backbone: 16x16 patch conv, cls token, bilinearly resized position
@@ -45,6 +61,10 @@ DPT_SPECS = {
                  out_indices=(2, 5, 8, 11), neck=(96, 192, 384, 768)),
     "large": dict(hidden=1024, layers=24, heads=16, intermediate=4096,
                   out_indices=(5, 11, 17, 23), neck=(256, 512, 1024, 1024)),
+    # R50+ViT-B/16 hybrid (Intel/dpt-hybrid-* releases): ViT taps are
+    # backbone_out_indices[2:]; neck stages 0/1 come from the BiT backbone
+    "hybrid": dict(hidden=768, layers=12, heads=12, intermediate=3072,
+                   out_indices=(8, 11), neck=(256, 512, 768, 768)),
 }
 
 _LN_EPS = 1e-12  # config.layer_norm_eps
@@ -117,8 +137,82 @@ class PreActResidual(nn.Module):
         return x + y
 
 
+def _make_div(value: float, divisor: int = 8) -> int:
+    """modeling_bit.make_div (bottleneck mid-channel rounding)."""
+    new_value = max(divisor, int(value + divisor / 2) // divisor * divisor)
+    if new_value < 0.9 * value:
+        new_value += divisor
+    return new_value
+
+
+def _tf_same_pad(x: jax.Array, k: int, s: int, value: float = 0.0) -> jax.Array:
+    """torch DynamicPad2d: TF SAME padding for kernel k / stride s (NHWC)."""
+    def p(n):
+        pad = max((-(-n // s) - 1) * s + k - n, 0)
+        return (pad // 2, pad - pad // 2)
+
+    ph, pw = p(x.shape[1]), p(x.shape[2])
+    if ph == (0, 0) and pw == (0, 0):
+        return x
+    return jnp.pad(x, ((0, 0), ph, pw, (0, 0)), constant_values=value)
+
+
+class WSConv(nn.Module):
+    """modeling_bit.WeightStandardizedConv2d: per-out-channel standardized
+    kernel ((w - mean) / sqrt(biased var + 1e-8)) + dynamic SAME padding,
+    bias-free."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.kernel, self.kernel, x.shape[-1],
+                           self.features), jnp.float32)
+        mean = jnp.mean(kern, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kern, axis=(0, 1, 2), keepdims=True)  # biased, as torch
+        kern = (kern - mean) * jax.lax.rsqrt(var + 1e-8)
+        x = _tf_same_pad(x, self.kernel, self.stride)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kern.astype(self.dtype),
+            (self.stride, self.stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class BitBottleneck(nn.Module):
+    """modeling_bit.BitBottleneckLayer (non-preact v1.5, hybrid flavor)."""
+
+    out_ch: int
+    stride: int = 1
+    gn_groups: int = 32
+    is_first: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gn = lambda n: nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                                    dtype=jnp.float32,
+                                    param_dtype=jnp.float32, name=n)
+        mid = _make_div(self.out_ch * 0.25)
+        shortcut = x
+        if self.is_first:
+            shortcut = WSConv(self.out_ch, 1, self.stride, dtype=self.dtype,
+                              name="downsample_conv")(x)
+            shortcut = gn("downsample_norm")(shortcut)  # no activation
+        y = WSConv(mid, 1, dtype=self.dtype, name="conv1")(x)
+        y = jax.nn.relu(gn("norm1")(y))
+        y = WSConv(mid, 3, self.stride, dtype=self.dtype, name="conv2")(y)
+        y = jax.nn.relu(gn("norm2")(y))
+        y = WSConv(self.out_ch, 1, dtype=self.dtype, name="conv3")(y)
+        y = gn("norm3")(y)  # no activation
+        return jax.nn.relu(y + shortcut)
+
+
 class DPTSeg(nn.Module):
-    """DPTForSemanticSegmentation (non-hybrid ViT backbone)."""
+    """DPTForSemanticSegmentation (plain-ViT or R50+ViT hybrid backbone)."""
 
     spec: str = "large"
     classes: int = 13
@@ -128,6 +222,12 @@ class DPTSeg(nn.Module):
     #                         is resized for other input sizes, like torch)
     fusion_dim: int = 256
     dtype: Any = jnp.float32
+    # hybrid (BiT/R50) backbone configuration (spec 'hybrid')
+    hybrid: bool = False
+    bit_depths: tuple[int, ...] = (3, 4, 9)
+    bit_hidden: tuple[int, ...] = (256, 512, 1024)
+    bit_embed: int = 64
+    bit_groups: int = 32
     # tiny-config overrides for tests
     hidden: int | None = None
     layers: int | None = None
@@ -150,14 +250,40 @@ class DPTSeg(nn.Module):
         cfg = self._cfg()
         C = cfg["hidden"]
         B, H, W, _ = x.shape
-        gh, gw = H // self.patch, W // self.patch
 
-        # --- ViT backbone (DPTViTEmbeddings + DPTViTEncoder) ---
-        y = nn.Conv(C, (self.patch, self.patch),
-                    strides=(self.patch, self.patch), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="patch_embed")(
-            x.astype(self.dtype))
-        y = y.reshape(B, gh * gw, C)
+        if self.hybrid:
+            # --- BiT backbone (DPTViTHybridEmbeddings) ---
+            y = WSConv(self.bit_embed, 7, 2, dtype=self.dtype,
+                       name="bit_stem_conv")(x.astype(self.dtype))
+            y = jax.nn.relu(nn.GroupNorm(num_groups=self.bit_groups,
+                                         epsilon=1e-5, dtype=jnp.float32,
+                                         param_dtype=jnp.float32,
+                                         name="bit_stem_norm")(y))
+            # BitMaxPool2d(3, 2, dynamic SAME, zero padding value)
+            y = jax.lax.reduce_window(
+                _tf_same_pad(y, 3, 2, value=0.0), -jnp.inf, jax.lax.max,
+                (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+            bit_taps = []
+            for s, (depth, ch) in enumerate(zip(self.bit_depths,
+                                                self.bit_hidden)):
+                for i in range(depth):
+                    y = BitBottleneck(
+                        ch, stride=(2 if s > 0 and i == 0 else 1),
+                        gn_groups=self.bit_groups, is_first=i == 0,
+                        dtype=self.dtype, name=f"bit_s{s}_l{i}")(y)
+                bit_taps.append(y)
+            gh, gw = y.shape[1:3]  # BiT stage-3 stride (= 16)
+            y = nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="projection")(y)
+            y = y.reshape(B, gh * gw, C)
+        else:
+            # --- ViT patch embedding (DPTViTEmbeddings) ---
+            gh, gw = H // self.patch, W // self.patch
+            y = nn.Conv(C, (self.patch, self.patch),
+                        strides=(self.patch, self.patch), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="patch_embed")(
+                x.astype(self.dtype))
+            y = y.reshape(B, gh * gw, C)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C),
                          jnp.float32)
         pos = self.param("pos_embed", nn.initializers.zeros,
@@ -182,7 +308,14 @@ class DPTSeg(nn.Module):
 
         # --- reassemble + neck convs (DPTReassembleStage, DPTNeck.convs) ---
         feats = []
-        for s, i in enumerate(sorted(taps)):
+        s0 = 0
+        if self.hybrid:
+            # neck_ignore_stages [0, 1]: BiT stage-1/2 maps pass through the
+            # reassemble stage untouched (hybrid reassemble factors at the
+            # remaining stages are (1, 0.5) == _FACTORS[2:])
+            feats.extend(t.astype(self.dtype) for t in bit_taps[:2])
+            s0 = 2
+        for s, i in enumerate(sorted(taps), start=s0):
             t = taps[i]
             cls_tok, tokens = t[:, :1], t[:, 1:]
             readout = jnp.concatenate(
@@ -202,10 +335,11 @@ class DPTSeg(nn.Module):
                             padding=((1, 1), (1, 1)), dtype=self.dtype,
                             param_dtype=jnp.float32,
                             name=f"reassemble{s}_resize")(t)
-            t = nn.Conv(self.fusion_dim, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=False, dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"neck_conv{s}")(t)
             feats.append(t)
+        feats = [nn.Conv(self.fusion_dim, (3, 3), padding=((1, 1), (1, 1)),
+                         use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"neck_conv{s}")(t)
+                 for s, t in enumerate(feats)]
 
         # --- fusion ladder (DPTFeatureFusionStage), deepest first ---
         fused = None
@@ -249,7 +383,7 @@ class DPTSeg(nn.Module):
 # ---------------------------------------------------------------------------
 
 def hf_dpt_torch_to_flax(sd: dict[str, np.ndarray]) -> dict:
-    """Key-exact converter (non-hybrid DPTForSemanticSegmentation layout)."""
+    """Key-exact converter (plain and hybrid DPTForSemanticSegmentation)."""
     params: dict = {}
     stats: dict = {}
 
@@ -277,6 +411,41 @@ def hf_dpt_torch_to_flax(sd: dict[str, np.ndarray]) -> dict:
             continue
         if key.startswith("dpt.embeddings.patch_embeddings.projection."):
             conv(("patch_embed",), parts[-1], arr)
+            continue
+        # --- hybrid (BiT backbone) embeddings ---
+        if key.startswith("dpt.embeddings.backbone.bit."):
+            rest = parts[4:]
+            if rest[0] == "embedder":
+                if rest[1] == "convolution":
+                    conv(("bit_stem_conv",), rest[2], arr)
+                else:  # GroupNorm
+                    _put(params, ("bit_stem_norm",
+                                  "scale" if rest[2] == "weight" else "bias"),
+                         arr)
+            elif rest[0] == "encoder":
+                # encoder.stages.{s}.layers.{i}.<sub>...
+                base = (f"bit_s{rest[2]}_l{rest[4]}",)
+                sub = rest[5]
+                if sub == "downsample":
+                    if rest[6] == "conv":
+                        conv(base + ("downsample_conv",), rest[7], arr)
+                    else:
+                        _put(params, base + ("downsample_norm",
+                                             "scale" if rest[7] == "weight"
+                                             else "bias"), arr)
+                elif sub.startswith("conv"):
+                    conv(base + (sub,), rest[6], arr)
+                elif sub.startswith("norm"):
+                    _put(params, base + (sub,
+                                         "scale" if rest[6] == "weight"
+                                         else "bias"), arr)
+                else:
+                    raise KeyError(f"unrecognized bit backbone key {key!r}")
+            else:
+                raise KeyError(f"unrecognized bit backbone key {key!r}")
+            continue
+        if key.startswith("dpt.embeddings.projection."):
+            conv(("projection",), parts[-1], arr)
             continue
         if key.startswith("dpt.encoder.layer."):
             i, rest = parts[3], parts[4:]

@@ -132,14 +132,14 @@ def hf_family(org_model: str) -> tuple[str, str]:
     name = org_model.lower()
     if "dpt" in name:
         if "hybrid" in name:
-            raise NotImplementedError(
-                f"{org_model!r}: only plain-ViT DPT is ported (the hybrid "
-                "BiT-backbone variant is not; use Intel/dpt-large-ade).")
+            # R50+ViT-B/16 (Intel/dpt-hybrid-*); only the base ViT hybrid
+            # was ever released
+            return "dpt", "hybrid"
         dm = _DPT_RE.search(name)
         if not dm:
             raise NotImplementedError(
                 f"DPT size in {org_model!r} is not ported (supported: "
-                "dpt-base, dpt-large, e.g. Intel/dpt-large-ade).")
+                "dpt-base, dpt-large, dpt-hybrid, e.g. Intel/dpt-large-ade).")
         return "dpt", dm.group(1)
     if "mobilenet_v2" in name or "mobilenet-v2" in name:
         dm = _MNV2_RE.search(name)
@@ -185,7 +185,8 @@ def hf_family(org_model: str) -> tuple[str, str]:
             "UperNet-Swin (openmmlab/upernet-swin-tiny/small/base/large), "
             "UperNet-ConvNeXt (openmmlab/upernet-convnext-*), BEiT "
             "(microsoft/beit-base/large-finetuned-ade-*), Data2Vec-Vision "
-            "(facebook/data2vec-vision-base/large), DPT (Intel/dpt-large-ade), "
+            "(facebook/data2vec-vision-base/large), DPT incl. hybrid "
+            "(Intel/dpt-large-ade, Intel/dpt-hybrid-midas), "
             "MobileViT (apple/deeplabv3-mobilevit-*), MobileViTV2 "
             "(apple/mobilevitv2-*) and MobileNetV2 "
             "(google/deeplabv3_mobilenet_v2_*). For ResNet-U-Net use "

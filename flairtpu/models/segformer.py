@@ -217,7 +217,7 @@ def create_hf_model(org_model: str, n_classes: int, dtype, remat: bool = False,
         from flairtpu.models.dpt import DPTSeg
 
         # the ADE seg release was trained at 480^2 (grid 30); others at 384^2
-        return DPTSeg(spec=spec, classes=n_classes,
+        return DPTSeg(spec=spec, classes=n_classes, hybrid=spec == "hybrid",
                       trained_grid=30 if "ade" in name else 24, dtype=dtype)
     if family == "mobilenet_v2":
         from flairtpu.models.mobilenet_v2 import MobileNetV2Seg

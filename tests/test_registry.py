@@ -32,7 +32,7 @@ def test_config_rejects_unported_names():
         ("SegmentationModelsPytorch", "timm-resnest14d_unet"),
         ("SegmentationModelsPytorch", "resnet34_frobnicate"),
         ("SegmentationModelsPytorch", "nonsense"),
-        ("HuggingFace", "Intel/dpt-hybrid-ade"),
+        ("HuggingFace", "Intel/dpt-giant-ade"),
         ("HuggingFace", "facebook/mask2former-ade-semantic"),
         # encoder/arch incompatibilities (smp make_dilated errors)
         ("SegmentationModelsPytorch", "vgg11_deeplabv3"),
@@ -113,6 +113,7 @@ def test_registry_factory_agree_hf():
     good = [
         "nvidia/mit-b0", "openmmlab/upernet-convnext-tiny",
         "facebook/data2vec-vision-large-ft1k", "Intel/dpt-base",
+        "Intel/dpt-hybrid-midas",
         "apple/deeplabv3-mobilevit-xx-small",
         "google/deeplabv3_mobilenet_v2_1.4_513",
     ]
@@ -121,7 +122,7 @@ def test_registry_factory_agree_hf():
         assert family in registry.HF_FAMILIES
         m = create_model(_train_cfg("HuggingFace", name))
         assert m is not None
-    bad = ["openmmlab/upernet-beit-giant", "Intel/dpt-hybrid-base",
+    bad = ["openmmlab/upernet-beit-giant", "Intel/dpt-giant",
            "some/unknown-model"]
     for name in bad:
         with pytest.raises(NotImplementedError):
