@@ -85,6 +85,11 @@ _XC_BN_RE = re.compile(r"^encoder\.bn([1-4])\.(.+)$")
 # DPN encoder (models/dpn.py): features.conv{s}_{i} dual-path blocks with
 # BnActConv submodules, features.conv1_1 stem, features.conv5_bn_ac tail
 _DPN_RE = re.compile(r"^encoder\.features\.(conv\d+_\d+|conv5_bn_ac)\.(.+)$")
+# timm-EfficientNet encoder (models/timm_efficientnet.py): conv_stem/bn1
+# stem (bn1 shares the xception stem-BN rename path), nested
+# blocks.{stage}.{idx} Sequential with conv_pw/conv_dw/conv_pwl, bn1/bn2/
+# bn3 and se.conv_reduce/se.conv_expand leaves
+_TIMM_EN_RE = re.compile(r"^encoder\.blocks\.(\d+)\.(\d+)\.(.+)$")
 # Inception encoders (models/inception.py).  InceptionV4 keys live in a
 # numeric features.{i} Sequential whose rest is always conv.weight / bn.* /
 # conv.{conv,bn}.* (Mixed_3a/5a) / branch*... — distinct from mobilenet_v2's
@@ -316,6 +321,30 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                 put_bn(mod + ("skipbn",), leaf, arr)
             else:
                 raise KeyError(f"unrecognized xception encoder key {key!r}")
+            continue
+        # --- timm-efficientnet encoder ---
+        if key == "encoder.conv_stem.weight":
+            put("params", ("encoder", "conv_stem", "kernel"),
+                _convert_tensor("weight", arr, "conv"))
+            continue
+        m = _TIMM_EN_RE.match(key)
+        if m:
+            s, i, rest = m.groups()
+            mod = ("encoder", f"s{s}_b{i}")
+            parts = rest.split(".")
+            leaf = parts[-1]
+            if parts[0].startswith("bn"):
+                put_bn(mod + (parts[0],), leaf, arr)
+            elif parts[0] == "se":
+                put("params", mod + (parts[1].replace("conv_", "se_"),
+                                     "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            elif parts[0].startswith("conv_"):
+                put("params", mod + (parts[0], "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                raise KeyError(
+                    f"unrecognized timm-efficientnet encoder key {key!r}")
             continue
         # --- efficientnet encoder ---
         if key == "encoder._conv_stem.weight":

@@ -36,10 +36,14 @@ XCEPTION_ENCODERS = ("xception",)
 MIT_ENCODERS = tuple(f"mit_b{i}" for i in range(6))
 DPN_ENCODERS = ("dpn68", "dpn68b", "dpn92", "dpn98", "dpn107", "dpn131")
 INCEPTION_ENCODERS = ("inceptionresnetv2", "inceptionv4")
+TIMM_EFFICIENTNET_ENCODERS = (
+    tuple(f"timm-efficientnet-b{i}" for i in range(9))
+    + ("timm-efficientnet-l2",)
+    + tuple(f"timm-tf_efficientnet_lite{i}" for i in range(5)))
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
                 + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
-                + INCEPTION_ENCODERS)
+                + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS)
 
 # smp's VGG/DenseNet/Xception/InceptionV4/InceptionResNetV2 encoders override
 # make_dilated to raise (pooling downsampling can't be dilated), so the archs

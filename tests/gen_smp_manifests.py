@@ -54,6 +54,10 @@ MIRRORS = {
     "dpn68b_unet": ("DPNUnet", {"name": "dpn68b"}),
     "inceptionv4_unet": ("InceptionUnet", {"name": "inceptionv4"}),
     "inceptionresnetv2_unet": ("InceptionUnet", {"name": "inceptionresnetv2"}),
+    "timm-efficientnet-b0_unet": ("TimmENUnet",
+                                  {"name": "timm-efficientnet-b0"}),
+    "timm-tf_efficientnet_lite0_unet": (
+        "TimmENUnet", {"name": "timm-tf_efficientnet_lite0"}),
 }
 
 
@@ -62,7 +66,8 @@ def manifest_for(name: str) -> dict[str, list[int]]:
                        torch_ref_senet, torch_ref_tv)
 
     cls_name, kwargs = MIRRORS[name]
-    from tests import torch_ref_dpn, torch_ref_inception, torch_ref_mit
+    from tests import (torch_ref_dpn, torch_ref_inception, torch_ref_mit,
+                       torch_ref_timm_en)
 
     cls = getattr(torch_ref, cls_name, None) or \
         getattr(torch_ref_efficientnet, cls_name, None) or \
@@ -71,6 +76,7 @@ def manifest_for(name: str) -> dict[str, list[int]]:
         getattr(torch_ref_mit, cls_name, None) or \
         getattr(torch_ref_dpn, cls_name, None) or \
         getattr(torch_ref_inception, cls_name, None) or \
+        getattr(torch_ref_timm_en, cls_name, None) or \
         getattr(torch_ref_ptm, cls_name)
     # kwargs may override in_channels (mit encoders are fixed at 3)
     model = cls(**{"in_channels": 5, "classes": 13, **kwargs})

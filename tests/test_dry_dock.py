@@ -67,12 +67,14 @@ def test_flair_inc_shaped_pth_loads_strict_every_arch(arch, tmp_path, rng):
 @pytest.mark.parametrize("encoder", ["efficientnet-b0", "mobilenet_v2",
                                      "vgg16_bn", "densenet121", "xception",
                                      "dpn68", "inceptionv4",
-                                     "inceptionresnetv2"])
+                                     "inceptionresnetv2",
+                                     "timm-efficientnet-b0"])
 def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
     """The non-resnet smp encoder families through the same file-on-disk ->
     load_pretrained strict route (unet decoder)."""
     from tests import torch_ref_dpn as tdp
     from tests import torch_ref_inception as tin
+    from tests import torch_ref_timm_en as ttn
     from tests import torch_ref_efficientnet as ten
     from tests import torch_ref_ptm as tpm
     from tests import torch_ref_tv as ttv
@@ -90,6 +92,8 @@ def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
                                                  in_channels=3, classes=15),
         "inceptionresnetv2": lambda: tin.InceptionUnet(
             "inceptionresnetv2", in_channels=3, classes=15),
+        "timm-efficientnet-b0": lambda: ttn.TimmENUnet(
+            "timm-efficientnet-b0", in_channels=3, classes=15),
     }
     torch.manual_seed(3)
     tm = builders[encoder]()
