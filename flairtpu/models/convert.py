@@ -90,6 +90,9 @@ _DPN_RE = re.compile(r"^encoder\.features\.(conv\d+_\d+|conv5_bn_ac)\.(.+)$")
 # blocks.{stage}.{idx} Sequential with conv_pw/conv_dw/conv_pwl, bn1/bn2/
 # bn3 and se.conv_reduce/se.conv_expand leaves
 _TIMM_EN_RE = re.compile(r"^encoder\.blocks\.(\d+)\.(\d+)\.(.+)$")
+# timm-resnest deep stem (models/resnest.py): conv1 is a Sequential with
+# convs at 0/3/6 and BNs at 1/4 (the outer bn1 shares the xception rename)
+_RESNEST_STEM_RE = re.compile(r"^encoder\.conv1\.(\d)\.(.+)$")
 # Inception encoders (models/inception.py).  InceptionV4 keys live in a
 # numeric features.{i} Sequential whose rest is always conv.weight / bn.* /
 # conv.{conv,bn}.* (Mixed_3a/5a) / branch*... — distinct from mobilenet_v2's
@@ -446,6 +449,16 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
             else:
                 put_bn(mod, leaf, arr)
             continue
+        # --- timm-resnest deep stem ---
+        m = _RESNEST_STEM_RE.match(key)
+        if m:
+            i, rest = m.groups()
+            if i in ("0", "3", "6"):
+                put("params", ("encoder", f"conv1_{i}", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:  # 1 / 4: stem BNs
+                put_bn(("encoder", f"conv1_{i}"), rest.rsplit(".", 1)[-1], arr)
+            continue
         # --- senet encoder stem (pretrainedmodels layer0: conv1..3/bn1..3) ---
         if key.startswith("encoder.layer0."):
             _, _, name, leaf = key.split(".")
@@ -466,6 +479,16 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                 put("params", mod + (f"se_{fc}",
                                      "kernel" if leaf == "weight" else leaf),
                     _convert_tensor(leaf, arr, "conv"))
+            elif rest.startswith("conv2.") and rest.count(".") >= 2:
+                # resnest SplAtConv2d: conv2.{conv,bn0,fc1,bn1,fc2}.*
+                sub, leaf = rest.split(".")[1], rest.rsplit(".", 1)[1]
+                if sub.startswith("bn"):
+                    put_bn(mod + ("conv2", sub), leaf, arr)
+                else:
+                    put("params",
+                        mod + ("conv2", sub,
+                               "kernel" if leaf == "weight" else leaf),
+                        _convert_tensor(leaf, arr, "conv"))
             elif rest.startswith("conv"):
                 name, leaf = rest.split(".", 1)
                 put("params", mod + (name, "kernel" if leaf == "weight" else leaf),
@@ -476,7 +499,13 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
             elif rest.startswith("downsample.0."):
                 put("params", mod + ("downsample_conv", "kernel"),
                     _convert_tensor("weight", arr, "conv"))
+            elif rest.startswith("downsample.1.") and arr.ndim == 4:
+                # resnest avg_down: downsample.{0 pool, 1 conv, 2 bn}
+                put("params", mod + ("downsample_conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
             elif rest.startswith("downsample.1."):
+                put_bn(mod + ("downsample_bn",), rest.rsplit(".", 1)[1], arr)
+            elif rest.startswith("downsample.2."):
                 put_bn(mod + ("downsample_bn",), rest.rsplit(".", 1)[1], arr)
             else:
                 raise KeyError(f"unrecognized encoder key {key!r}")

@@ -62,6 +62,11 @@ class FlairSegmentationModel(nn.Module):
     def _make_encoder(self, **kw):
         """Encoder family dispatch (resnet/resnext, efficientnet, and the
         torchvision-backed mobilenet_v2/vgg/densenet families)."""
+        if self.encoder_name.startswith("timm-resnest"):
+            from flairtpu.models.resnest import ResNestEncoder
+
+            return ResNestEncoder(name_spec=self.encoder_name,
+                                  remat=self.remat, dtype=self.dtype, **kw)
         if self.encoder_name.startswith("timm-"):
             from flairtpu.models.timm_efficientnet import TimmEfficientNetEncoder
 

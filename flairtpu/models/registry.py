@@ -40,10 +40,15 @@ TIMM_EFFICIENTNET_ENCODERS = (
     tuple(f"timm-efficientnet-b{i}" for i in range(9))
     + ("timm-efficientnet-l2",)
     + tuple(f"timm-tf_efficientnet_lite{i}" for i in range(5)))
+RESNEST_ENCODERS = ("timm-resnest14d", "timm-resnest26d", "timm-resnest50d",
+                    "timm-resnest101e", "timm-resnest200e",
+                    "timm-resnest269e", "timm-resnest50d_4s2x40d",
+                    "timm-resnest50d_1s4x24d")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
                 + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
-                + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS)
+                + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS
+                + RESNEST_ENCODERS)
 
 # smp's VGG/DenseNet/Xception/InceptionV4/InceptionResNetV2 encoders override
 # make_dilated to raise (pooling downsampling can't be dilated), so the archs
@@ -52,7 +57,7 @@ SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
 # encoders in smp too
 _NO_DILATION_ENCODERS = frozenset(VGG_ENCODERS + DENSENET_ENCODERS
                                   + XCEPTION_ENCODERS + MIT_ENCODERS
-                                  + INCEPTION_ENCODERS)
+                                  + INCEPTION_ENCODERS + RESNEST_ENCODERS)
 _DILATED_ARCHS = frozenset({"deeplabv3", "deeplabv3plus", "pan"})
 
 
@@ -84,6 +89,17 @@ def check_smp(encoder_decoder: str,
                 "MixVisionTransformer encoder does not support dilated "
                 f"mode, so {arch!r} cannot use {encoder!r} — smp raises "
                 "the same way (smp/encoders/mix_transformer.py)")
+        if encoder in RESNEST_ENCODERS:
+            # DEVIATION: smp does NOT raise here, but its make_dilated only
+            # rewrites Conv2d strides while ResNeSt carries every stride-2
+            # in an AvgPool2d, so smp silently keeps output stride 32 and
+            # the dilated archs produce wrong-sized logits (DEVIATIONS.md)
+            raise ValueError(
+                f"ResNeSt encoders cannot be dilated ({arch!r} with "
+                f"{encoder!r}): the strides live in avd/avg_down pools "
+                "that smp's replace_strides_with_dilation does not "
+                "rewrite — smp silently computes stride-32 features here; "
+                "flairtpu fails fast instead (see DEVIATIONS.md)")
         family = ("VGG" if encoder.startswith("vgg") else
                   "Xception" if encoder == "xception" else
                   "InceptionV4" if encoder == "inceptionv4" else

@@ -68,12 +68,14 @@ def test_flair_inc_shaped_pth_loads_strict_every_arch(arch, tmp_path, rng):
                                      "vgg16_bn", "densenet121", "xception",
                                      "dpn68", "inceptionv4",
                                      "inceptionresnetv2",
-                                     "timm-efficientnet-b0"])
+                                     "timm-efficientnet-b0",
+                                     "timm-resnest14d"])
 def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
     """The non-resnet smp encoder families through the same file-on-disk ->
     load_pretrained strict route (unet decoder)."""
     from tests import torch_ref_dpn as tdp
     from tests import torch_ref_inception as tin
+    from tests import torch_ref_resnest as trn
     from tests import torch_ref_timm_en as ttn
     from tests import torch_ref_efficientnet as ten
     from tests import torch_ref_ptm as tpm
@@ -94,6 +96,8 @@ def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
             "inceptionresnetv2", in_channels=3, classes=15),
         "timm-efficientnet-b0": lambda: ttn.TimmENUnet(
             "timm-efficientnet-b0", in_channels=3, classes=15),
+        "timm-resnest14d": lambda: trn.ResNestUnet(
+            "timm-resnest14d", in_channels=3, classes=15),
     }
     torch.manual_seed(3)
     tm = builders[encoder]()

@@ -29,7 +29,7 @@ def _train_cfg(provider, name):
 
 def test_config_rejects_unported_names():
     for provider, name in [
-        ("SegmentationModelsPytorch", "timm-resnest14d_unet"),
+        ("SegmentationModelsPytorch", "timm-regnety_016_unet"),
         ("SegmentationModelsPytorch", "resnet34_frobnicate"),
         ("SegmentationModelsPytorch", "nonsense"),
         ("HuggingFace", "Intel/dpt-giant-ade"),
@@ -51,6 +51,8 @@ def test_config_accepts_ported_names():
         ("SegmentationModelsPytorch", "densenet169_fpn"),
         ("SegmentationModelsPytorch", "dpn68_unet"),
         ("SegmentationModelsPytorch", "dpn92_deeplabv3plus"),
+        ("SegmentationModelsPytorch", "timm-efficientnet-b0_unet"),
+        ("SegmentationModelsPytorch", "timm-resnest14d_unet"),
         ("HuggingFace", "nvidia/segformer-b2-finetuned-ade-512-512"),
         ("HuggingFace", "openmmlab/upernet-swin-tiny"),
         ("HuggingFace", "microsoft/beit-base-finetuned-ade-640-640"),
@@ -98,10 +100,10 @@ def test_registry_factory_agree_smp():
             m = create_model(_train_cfg("SegmentationModelsPytorch", name))
             assert m is not None
     with pytest.raises(NotImplementedError):
-        registry.check_smp("timm-resnest14d_unet")
+        registry.check_smp("timm-regnety_016_unet")
     with pytest.raises(NotImplementedError):
         create_model(_train_cfg("SegmentationModelsPytorch",
-                                "timm-resnest14d_unet"))
+                                "timm-regnety_016_unet"))
     # vgg/densenet reject the dilated archs in the factory too (via check_smp)
     with pytest.raises(ValueError, match="dilated"):
         create_model(_train_cfg("SegmentationModelsPytorch", "vgg11_deeplabv3"))
