@@ -479,6 +479,14 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                 put("params", mod + (f"se_{fc}",
                                      "kernel" if leaf == "weight" else leaf),
                     _convert_tensor(leaf, arr, "conv"))
+            elif rest.startswith("convs."):
+                # res2net Bottle2neck hierarchical 3x3s (ModuleList)
+                _, i2, leaf = rest.split(".")
+                put("params", mod + (f"convs_{i2}", "kernel"),
+                    _convert_tensor(leaf, arr, "conv"))
+            elif rest.startswith("bns."):
+                _, i2, leaf = rest.split(".")
+                put_bn(mod + (f"bns_{i2}",), leaf, arr)
             elif rest.startswith("conv2.") and rest.count(".") >= 2:
                 # resnest SplAtConv2d: conv2.{conv,bn0,fc1,bn1,fc2}.*
                 sub, leaf = rest.split(".")[1], rest.rsplit(".", 1)[1]

@@ -67,6 +67,11 @@ class FlairSegmentationModel(nn.Module):
 
             return ResNestEncoder(name_spec=self.encoder_name,
                                   remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith(("timm-res2net", "timm-res2next")):
+            from flairtpu.models.res2net import Res2NetEncoder
+
+            return Res2NetEncoder(name_spec=self.encoder_name,
+                                  remat=self.remat, dtype=self.dtype, **kw)
         if self.encoder_name.startswith("timm-"):
             from flairtpu.models.timm_efficientnet import TimmEfficientNetEncoder
 

@@ -44,11 +44,15 @@ RESNEST_ENCODERS = ("timm-resnest14d", "timm-resnest26d", "timm-resnest50d",
                     "timm-resnest101e", "timm-resnest200e",
                     "timm-resnest269e", "timm-resnest50d_4s2x40d",
                     "timm-resnest50d_1s4x24d")
+RES2NET_ENCODERS = ("timm-res2net50_26w_4s", "timm-res2net101_26w_4s",
+                    "timm-res2net50_26w_6s", "timm-res2net50_26w_8s",
+                    "timm-res2net50_48w_2s", "timm-res2net50_14w_8s",
+                    "timm-res2next50")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
                 + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
                 + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS
-                + RESNEST_ENCODERS)
+                + RESNEST_ENCODERS + RES2NET_ENCODERS)
 
 # smp's VGG/DenseNet/Xception/InceptionV4/InceptionResNetV2 encoders override
 # make_dilated to raise (pooling downsampling can't be dilated), so the archs
@@ -57,7 +61,8 @@ SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
 # encoders in smp too
 _NO_DILATION_ENCODERS = frozenset(VGG_ENCODERS + DENSENET_ENCODERS
                                   + XCEPTION_ENCODERS + MIT_ENCODERS
-                                  + INCEPTION_ENCODERS + RESNEST_ENCODERS)
+                                  + INCEPTION_ENCODERS + RESNEST_ENCODERS
+                                  + RES2NET_ENCODERS)
 _DILATED_ARCHS = frozenset({"deeplabv3", "deeplabv3plus", "pan"})
 
 
@@ -89,6 +94,15 @@ def check_smp(encoder_decoder: str,
                 "MixVisionTransformer encoder does not support dilated "
                 f"mode, so {arch!r} cannot use {encoder!r} — smp raises "
                 "the same way (smp/encoders/mix_transformer.py)")
+        if encoder in RES2NET_ENCODERS:
+            # DEVIATION (#16 family): smp's replace_strides_with_dilation
+            # leaves the is_first blocks' stride-2 AvgPool2d in place, so
+            # the dilated stage's first block crashes inside torch.cat
+            raise ValueError(
+                f"Res2Net encoders cannot be dilated ({arch!r} with "
+                f"{encoder!r}): smp's replace_strides_with_dilation keeps "
+                "the is_first AvgPool2d stride and crashes in torch.cat — "
+                "flairtpu fails fast instead (see DEVIATIONS.md #16)")
         if encoder in RESNEST_ENCODERS:
             # DEVIATION: smp does NOT raise here, but its make_dilated only
             # rewrites Conv2d strides while ResNeSt carries every stride-2
