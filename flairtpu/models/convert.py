@@ -93,6 +93,9 @@ _TIMM_EN_RE = re.compile(r"^encoder\.blocks\.(\d+)\.(\d+)\.(.+)$")
 # timm-resnest deep stem (models/resnest.py): conv1 is a Sequential with
 # convs at 0/3/6 and BNs at 1/4 (the outer bn1 shares the xception rename)
 _RESNEST_STEM_RE = re.compile(r"^encoder\.conv1\.(\d)\.(.+)$")
+# timm-mobilenetv3 (models/timm_mobilenetv3.py): smp holds the timm model
+# under self.model, so every key carries an extra "model." prefix
+_MNV3_RE = re.compile(r"^encoder\.model\.(.+)$")
 # Inception encoders (models/inception.py).  InceptionV4 keys live in a
 # numeric features.{i} Sequential whose rest is always conv.weight / bn.* /
 # conv.{conv,bn}.* (Mixed_3a/5a) / branch*... — distinct from mobilenet_v2's
@@ -324,6 +327,36 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                 put_bn(mod + ("skipbn",), leaf, arr)
             else:
                 raise KeyError(f"unrecognized xception encoder key {key!r}")
+            continue
+        # --- timm-mobilenetv3 encoder (extra model. prefix) ---
+        m = _MNV3_RE.match(key)
+        if m:
+            rest_all = m.group(1)
+            if rest_all == "conv_stem.weight":
+                put("params", ("encoder", "conv_stem", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            elif rest_all.startswith("bn1."):
+                put_bn(("encoder", "bn1"), rest_all.rsplit(".", 1)[1], arr)
+            elif rest_all.startswith("blocks."):
+                _, s, i, *parts = rest_all.split(".")
+                mod = ("encoder", f"s{s}_b{i}")
+                leaf = parts[-1]
+                if parts[0].startswith("bn"):
+                    put_bn(mod + (parts[0],), leaf, arr)
+                elif parts[0] == "se":
+                    put("params",
+                        mod + (parts[1].replace("conv_", "se_"),
+                               "kernel" if leaf == "weight" else leaf),
+                        _convert_tensor(leaf, arr, "conv"))
+                elif parts[0].startswith("conv"):
+                    put("params", mod + (parts[0], "kernel"),
+                        _convert_tensor("weight", arr, "conv"))
+                else:
+                    raise KeyError(
+                        f"unrecognized mobilenetv3 encoder key {key!r}")
+            else:
+                raise KeyError(
+                    f"unrecognized mobilenetv3 encoder key {key!r}")
             continue
         # --- timm-efficientnet encoder ---
         if key == "encoder.conv_stem.weight":

@@ -72,6 +72,12 @@ class FlairSegmentationModel(nn.Module):
 
             return Res2NetEncoder(name_spec=self.encoder_name,
                                   remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith("timm-mobilenetv3"):
+            from flairtpu.models.timm_mobilenetv3 import TimmMobileNetV3Encoder
+
+            return TimmMobileNetV3Encoder(name_spec=self.encoder_name,
+                                          remat=self.remat, dtype=self.dtype,
+                                          **kw)
         if self.encoder_name.startswith("timm-"):
             from flairtpu.models.timm_efficientnet import TimmEfficientNetEncoder
 

@@ -48,11 +48,15 @@ RES2NET_ENCODERS = ("timm-res2net50_26w_4s", "timm-res2net101_26w_4s",
                     "timm-res2net50_26w_6s", "timm-res2net50_26w_8s",
                     "timm-res2net50_48w_2s", "timm-res2net50_14w_8s",
                     "timm-res2next50")
+MOBILENETV3_ENCODERS = tuple(
+    f"timm-mobilenetv3_{m}_{w}" for m in ("large", "small")
+    for w in ("075", "100", "minimal_100"))
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
                 + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
                 + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS
-                + RESNEST_ENCODERS + RES2NET_ENCODERS)
+                + RESNEST_ENCODERS + RES2NET_ENCODERS
+                + MOBILENETV3_ENCODERS)
 
 # smp's VGG/DenseNet/Xception/InceptionV4/InceptionResNetV2 encoders override
 # make_dilated to raise (pooling downsampling can't be dilated), so the archs
