@@ -520,15 +520,29 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
             elif rest.startswith("bns."):
                 _, i2, leaf = rest.split(".")
                 put_bn(mod + (f"bns_{i2}",), leaf, arr)
-            elif rest.startswith("conv2.") and rest.count(".") >= 2:
-                # resnest SplAtConv2d: conv2.{conv,bn0,fc1,bn1,fc2}.*
-                sub, leaf = rest.split(".")[1], rest.rsplit(".", 1)[1]
-                if sub.startswith("bn"):
-                    put_bn(mod + ("conv2", sub), leaf, arr)
+            elif rest[:5] in ("conv1", "conv2", "conv3") \
+                    and rest.count(".") >= 2:
+                # nested conv{n} submodules: resnest SplAtConv2d
+                # (conv2.{conv,bn0,fc1,bn1,fc2}), sknet SelectiveKernel
+                # (conv{n}.paths.{i}.{conv,bn}, conv{n}.attn.{fc_reduce,
+                # bn,fc_select}) and ConvNormAct (conv{n}.{conv,bn})
+                parts2 = rest.split(".")
+                top, leaf = parts2[0], parts2[-1]
+                subs: list[str] = []
+                j2 = 1
+                while j2 < len(parts2) - 1:
+                    if parts2[j2] == "paths":
+                        subs.append(f"paths_{parts2[j2 + 1]}")
+                        j2 += 2
+                    else:
+                        subs.append(parts2[j2])
+                        j2 += 1
+                if subs[-1].startswith("bn"):
+                    put_bn(mod + (top,) + tuple(subs), leaf, arr)
                 else:
                     put("params",
-                        mod + ("conv2", sub,
-                               "kernel" if leaf == "weight" else leaf),
+                        mod + (top,) + tuple(subs)
+                        + ("kernel" if leaf == "weight" else leaf,),
                         _convert_tensor(leaf, arr, "conv"))
             elif rest.startswith("conv"):
                 name, leaf = rest.split(".", 1)

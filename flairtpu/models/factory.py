@@ -72,6 +72,11 @@ class FlairSegmentationModel(nn.Module):
 
             return Res2NetEncoder(name_spec=self.encoder_name,
                                   remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith(("timm-skresnet", "timm-skresnext")):
+            from flairtpu.models.sknet import SKNetEncoder
+
+            return SKNetEncoder(name_spec=self.encoder_name,
+                                remat=self.remat, dtype=self.dtype, **kw)
         if self.encoder_name.startswith("timm-mobilenetv3"):
             from flairtpu.models.timm_mobilenetv3 import TimmMobileNetV3Encoder
 

@@ -51,12 +51,14 @@ RES2NET_ENCODERS = ("timm-res2net50_26w_4s", "timm-res2net101_26w_4s",
 MOBILENETV3_ENCODERS = tuple(
     f"timm-mobilenetv3_{m}_{w}" for m in ("large", "small")
     for w in ("075", "100", "minimal_100"))
+SKNET_ENCODERS = ("timm-skresnet18", "timm-skresnet34",
+                  "timm-skresnext50_32x4d")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
                 + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
                 + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS
                 + RESNEST_ENCODERS + RES2NET_ENCODERS
-                + MOBILENETV3_ENCODERS)
+                + MOBILENETV3_ENCODERS + SKNET_ENCODERS)
 
 # smp's VGG/DenseNet/Xception/InceptionV4/InceptionResNetV2 encoders override
 # make_dilated to raise (pooling downsampling can't be dilated), so the archs

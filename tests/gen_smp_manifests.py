@@ -67,6 +67,9 @@ MIRRORS = {
         "MNV3Unet", {"name": "timm-mobilenetv3_large_100"}),
     "timm-mobilenetv3_small_100_unet": (
         "MNV3Unet", {"name": "timm-mobilenetv3_small_100"}),
+    "timm-skresnet18_unet": ("SKNetUnet", {"name": "timm-skresnet18"}),
+    "timm-skresnext50_32x4d_unet": ("SKNetUnet",
+                                    {"name": "timm-skresnext50_32x4d"}),
 }
 
 
@@ -77,7 +80,8 @@ def manifest_for(name: str) -> dict[str, list[int]]:
     cls_name, kwargs = MIRRORS[name]
     from tests import (torch_ref_dpn, torch_ref_inception, torch_ref_mit,
                        torch_ref_res2net, torch_ref_resnest,
-                       torch_ref_timm_en, torch_ref_timm_mnv3)
+                       torch_ref_sknet, torch_ref_timm_en,
+                       torch_ref_timm_mnv3)
 
     cls = getattr(torch_ref, cls_name, None) or \
         getattr(torch_ref_efficientnet, cls_name, None) or \
@@ -90,6 +94,7 @@ def manifest_for(name: str) -> dict[str, list[int]]:
         getattr(torch_ref_resnest, cls_name, None) or \
         getattr(torch_ref_res2net, cls_name, None) or \
         getattr(torch_ref_timm_mnv3, cls_name, None) or \
+        getattr(torch_ref_sknet, cls_name, None) or \
         getattr(torch_ref_ptm, cls_name)
     # kwargs may override in_channels (mit encoders are fixed at 3)
     model = cls(**{"in_channels": 5, "classes": 13, **kwargs})
