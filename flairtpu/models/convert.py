@@ -96,6 +96,9 @@ _RESNEST_STEM_RE = re.compile(r"^encoder\.conv1\.(\d)\.(.+)$")
 # timm-mobilenetv3 (models/timm_mobilenetv3.py): smp holds the timm model
 # under self.model, so every key carries an extra "model." prefix
 _MNV3_RE = re.compile(r"^encoder\.model\.(.+)$")
+# timm-regnet (models/regnet.py): stem ConvNormAct + s{k}.b{i} stages with
+# conv1/conv2/conv3 ConvNormActs, regnety se.fc1/fc2, downsample ConvNorm
+_REGNET_RE = re.compile(r"^encoder\.(s[1-4])\.(b\d+)\.(.+)$")
 # Inception encoders (models/inception.py).  InceptionV4 keys live in a
 # numeric features.{i} Sequential whose rest is always conv.weight / bn.* /
 # conv.{conv,bn}.* (Mixed_3a/5a) / branch*... — distinct from mobilenet_v2's
@@ -481,6 +484,33 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                     _convert_tensor("weight", arr, "conv"))
             else:
                 put_bn(mod, leaf, arr)
+            continue
+        # --- timm-regnet ---
+        if key.startswith("encoder.stem."):
+            _, _, sub, leaf = key.split(".")
+            if sub == "conv":
+                put("params", ("encoder", "stem", "conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                put_bn(("encoder", "stem", "bn"), leaf, arr)
+            continue
+        m = _REGNET_RE.match(key)
+        if m:
+            s, b, rest = m.groups()
+            mod = ("encoder", f"{s}_{b}")
+            parts = rest.split(".")
+            leaf = parts[-1]
+            if parts[0] == "se":
+                put("params", mod + ("se", parts[1],
+                                     "kernel" if leaf == "weight" else leaf),
+                    _convert_tensor(leaf, arr, "conv"))
+            elif parts[1] == "conv":
+                put("params", mod + (parts[0], "conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            elif parts[1] == "bn":
+                put_bn(mod + (parts[0], "bn"), leaf, arr)
+            else:
+                raise KeyError(f"unrecognized regnet encoder key {key!r}")
             continue
         # --- timm-resnest deep stem ---
         m = _RESNEST_STEM_RE.match(key)

@@ -77,6 +77,11 @@ class FlairSegmentationModel(nn.Module):
 
             return SKNetEncoder(name_spec=self.encoder_name,
                                 remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith("timm-regnet"):
+            from flairtpu.models.regnet import RegNetEncoder
+
+            return RegNetEncoder(name_spec=self.encoder_name,
+                                 remat=self.remat, dtype=self.dtype, **kw)
         if self.encoder_name.startswith("timm-mobilenetv3"):
             from flairtpu.models.timm_mobilenetv3 import TimmMobileNetV3Encoder
 
