@@ -18,9 +18,10 @@
   inceptionresnetv2) and smp's vendored SegFormer backbone (mit_b0..b5),
   completing smp 0.3.3's full non-timm encoder surface.
 - :mod:`flairtpu.models.timm_efficientnet` / ``resnest`` / ``res2net`` /
-  ``timm_mobilenetv3`` / ``sknet`` / ``regnet`` — the timm-wrapper smp
-  encoder families (65 encoder strings); only timm-gernet remains
-  unported (config-time error).
+  ``timm_mobilenetv3`` / ``sknet`` / ``regnet`` / ``gernet`` — the
+  timm-wrapper smp encoder families (68 encoder strings), completing
+  smp 0.3.3's ENTIRE encoder surface: every ``<encoder>_<arch>`` string
+  the reference factory accepts (src/flair/model.py:35-41) dispatches.
 - :mod:`flairtpu.models.segformer` / ``swin_upernet`` / ``convnext_upernet`` /
   ``beit_upernet`` (also serving Data2Vec-Vision) / ``dpt`` / ``mobilevit`` /
   ``mobilenet_v2`` — the HuggingFace-provider families (the full transformers

@@ -99,6 +99,13 @@ _MNV3_RE = re.compile(r"^encoder\.model\.(.+)$")
 # timm-regnet (models/regnet.py): stem ConvNormAct + s{k}.b{i} stages with
 # conv1/conv2/conv3 ConvNormActs, regnety se.fc1/fc2, downsample ConvNorm
 _REGNET_RE = re.compile(r"^encoder\.(s[1-4])\.(b\d+)\.(.+)$")
+# timm-gernet (models/gernet.py): ByobNet stages.{s}.{i} blocks of named
+# ConvNormActs (conv1_kxk/conv2_kxk/conv1_1x1/conv3_1x1/shortcut) plus the
+# 1x1 final_conv; the stem shares the regnet stem.{conv,bn} branch
+_GERNET_RE = re.compile(
+    r"^encoder\.(?:stages\.(\d+)\.(\d+)\.)?"
+    r"(final_conv|conv1_kxk|conv2_kxk|conv1_1x1|conv3_1x1|shortcut)"
+    r"\.(conv|bn)\.(.+)$")
 # Inception encoders (models/inception.py).  InceptionV4 keys live in a
 # numeric features.{i} Sequential whose rest is always conv.weight / bn.* /
 # conv.{conv,bn}.* (Mixed_3a/5a) / branch*... — distinct from mobilenet_v2's
@@ -511,6 +518,18 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                 put_bn(mod + (parts[0], "bn"), leaf, arr)
             else:
                 raise KeyError(f"unrecognized regnet encoder key {key!r}")
+            continue
+        # --- timm-gernet (ByobNet) ---
+        m = _GERNET_RE.match(key)
+        if m:
+            s, i, sub, kind, leaf = m.groups()
+            mod = (("encoder", f"stages_{s}_{i}", sub) if s is not None
+                   else ("encoder", sub))
+            if kind == "conv":
+                put("params", mod + ("conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:
+                put_bn(mod + ("bn",), leaf, arr)
             continue
         # --- timm-resnest deep stem ---
         m = _RESNEST_STEM_RE.match(key)

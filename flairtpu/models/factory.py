@@ -88,6 +88,11 @@ class FlairSegmentationModel(nn.Module):
             return TimmMobileNetV3Encoder(name_spec=self.encoder_name,
                                           remat=self.remat, dtype=self.dtype,
                                           **kw)
+        if self.encoder_name.startswith("timm-gernet"):
+            from flairtpu.models.gernet import GERNetEncoder
+
+            return GERNetEncoder(name_spec=self.encoder_name,
+                                 remat=self.remat, dtype=self.dtype, **kw)
         if self.encoder_name.startswith("timm-"):
             from flairtpu.models.timm_efficientnet import TimmEfficientNetEncoder
 

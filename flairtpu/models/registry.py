@@ -57,12 +57,14 @@ REGNET_ENCODERS = tuple(
     f"timm-regnet{f}_{s}" for f in ("x", "y")
     for s in ("002", "004", "006", "008", "016", "032", "040", "064",
               "080", "120", "160", "320"))
+GERNET_ENCODERS = ("timm-gernet_s", "timm-gernet_m", "timm-gernet_l")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
                 + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
                 + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS
                 + RESNEST_ENCODERS + RES2NET_ENCODERS
-                + MOBILENETV3_ENCODERS + SKNET_ENCODERS + REGNET_ENCODERS)
+                + MOBILENETV3_ENCODERS + SKNET_ENCODERS + REGNET_ENCODERS
+                + GERNET_ENCODERS)
 
 # smp's VGG/DenseNet/Xception/InceptionV4/InceptionResNetV2 encoders override
 # make_dilated to raise (pooling downsampling can't be dilated), so the archs

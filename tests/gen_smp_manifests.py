@@ -72,6 +72,8 @@ MIRRORS = {
                                     {"name": "timm-skresnext50_32x4d"}),
     "timm-regnetx_002_unet": ("RegNetUnet", {"name": "timm-regnetx_002"}),
     "timm-regnety_016_unet": ("RegNetUnet", {"name": "timm-regnety_016"}),
+    "timm-gernet_s_unet": ("GERNetUnet", {"name": "timm-gernet_s"}),
+    "timm-gernet_l_unet": ("GERNetUnet", {"name": "timm-gernet_l"}),
 }
 
 
@@ -80,8 +82,8 @@ def manifest_for(name: str) -> dict[str, list[int]]:
                        torch_ref_senet, torch_ref_tv)
 
     cls_name, kwargs = MIRRORS[name]
-    from tests import (torch_ref_dpn, torch_ref_inception, torch_ref_mit,
-                       torch_ref_res2net, torch_ref_resnest,
+    from tests import (torch_ref_dpn, torch_ref_gernet, torch_ref_inception,
+                       torch_ref_mit, torch_ref_res2net, torch_ref_resnest,
                        torch_ref_regnet, torch_ref_sknet, torch_ref_timm_en,
                        torch_ref_timm_mnv3)
 
@@ -98,6 +100,7 @@ def manifest_for(name: str) -> dict[str, list[int]]:
         getattr(torch_ref_timm_mnv3, cls_name, None) or \
         getattr(torch_ref_sknet, cls_name, None) or \
         getattr(torch_ref_regnet, cls_name, None) or \
+        getattr(torch_ref_gernet, cls_name, None) or \
         getattr(torch_ref_ptm, cls_name)
     # kwargs may override in_channels (mit encoders are fixed at 3)
     model = cls(**{"in_channels": 5, "classes": 13, **kwargs})

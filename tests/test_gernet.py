@@ -1,0 +1,98 @@
+"""timm-gernet smp encoders: Flax vs torch-mirror parity, converter
+structure, factory e2e (the last smp 0.3.3 encoder family)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from flairtpu.models import convert
+from flairtpu.models.factory import (FlairSegmentationModel, create_model,
+                                     init_model)
+from flairtpu.models.gernet import GERNET_SPECS, GERNetEncoder
+from tests import torch_ref_gernet as tg
+
+
+def _randomize_bn(m):
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    m.eval()
+    return m
+
+
+def test_out_channels_match_smp():
+    # smp/encoders/timm_gernet.py published values
+    assert GERNetEncoder(name_spec="timm-gernet_s").out_channels == (
+        3, 13, 48, 48, 384, 1920)
+    assert GERNetEncoder(name_spec="timm-gernet_m").out_channels == (
+        3, 32, 128, 192, 640, 2560)
+    assert GERNetEncoder(name_spec="timm-gernet_l").out_channels == (
+        3, 32, 128, 192, 640, 2560)
+
+
+CASES = {
+    "timm-gernet_s_unet": (
+        lambda: tg.GERNetUnet("timm-gernet_s", 5, classes=6),
+        "timm-gernet_s", "unet", 64, 5),
+    "timm-gernet_m_unet": (
+        lambda: tg.GERNetUnet("timm-gernet_m", 4, classes=6),
+        "timm-gernet_m", "unet", 64, 4),
+    "timm-gernet_l_fpn": (
+        lambda: tg.GERNetFPN("timm-gernet_l", classes=6),
+        "timm-gernet_l", "fpn", 64, 3),
+    "timm-gernet_s_deeplabv3plus": (
+        lambda: tg.GERNetDeepLabV3Plus("timm-gernet_s", classes=6),
+        "timm-gernet_s", "deeplabv3plus", 64, 3),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(CASES))
+def case(request):
+    builder, enc, arch, size, in_ch = CASES[request.param]
+    torch.manual_seed(29)
+    tm = _randomize_bn(builder())
+    return enc, arch, size, in_ch, tm
+
+
+def test_logit_parity(case, rng):
+    enc, arch, size, in_ch, tm = case
+    x = rng.standard_normal((2, size, size, in_ch), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert.torch_to_flax(convert.normalize_keys(sd))
+    fm = FlairSegmentationModel(encoder_name=enc, arch=arch, classes=6,
+                                dtype=jnp.float32)
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+
+    assert got.shape == want.shape == (2, 6, size, size)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_converter_structure(case):
+    enc, arch, size, in_ch, tm = case
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert.torch_to_flax(convert.normalize_keys(sd))
+    fm = FlairSegmentationModel(encoder_name=enc, arch=arch, classes=6)
+    params, stats = init_model(fm, (1, size, size, in_ch))
+    problems = convert.validate_against(
+        variables, {"params": params, "batch_stats": stats}, strict=False)
+    assert problems == []
+
+
+def test_factory_dispatch_and_forward():
+    cfg = {"model_framework": {
+        "model_provider": "SegmentationModelsPytorch",
+        "SegmentationModelsPytorch": {
+            "encoder_decoder": "timm-gernet_s_unet"}},
+        "n_classes": 5, "channels": [1, 2, 3]}
+    m = create_model(cfg)
+    params, stats = init_model(m, (1, 64, 64, 3))
+    out = m.apply({"params": params, "batch_stats": stats},
+                  jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 64, 64, 5)

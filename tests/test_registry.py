@@ -29,7 +29,7 @@ def _train_cfg(provider, name):
 
 def test_config_rejects_unported_names():
     for provider, name in [
-        ("SegmentationModelsPytorch", "timm-gernet_m_unet"),
+        ("SegmentationModelsPytorch", "timm-gernet_xl_unet"),
         ("SegmentationModelsPytorch", "resnet34_frobnicate"),
         ("SegmentationModelsPytorch", "nonsense"),
         ("HuggingFace", "Intel/dpt-giant-ade"),
@@ -99,11 +99,12 @@ def test_registry_factory_agree_smp():
             registry.check_smp(name)
             m = create_model(_train_cfg("SegmentationModelsPytorch", name))
             assert m is not None
+    # timm-gernet (the historically last unported family) now dispatches
+    registry.check_smp("timm-gernet_m_unet")
+    assert create_model(_train_cfg("SegmentationModelsPytorch",
+                                   "timm-gernet_m_unet")) is not None
     with pytest.raises(NotImplementedError):
-        registry.check_smp("timm-gernet_m_unet")
-    with pytest.raises(NotImplementedError):
-        create_model(_train_cfg("SegmentationModelsPytorch",
-                                "timm-gernet_m_unet"))
+        registry.check_smp("timm-gernet_xl_unet")
     # vgg/densenet reject the dilated archs in the factory too (via check_smp)
     with pytest.raises(ValueError, match="dilated"):
         create_model(_train_cfg("SegmentationModelsPytorch", "vgg11_deeplabv3"))
