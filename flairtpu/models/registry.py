@@ -96,6 +96,22 @@ def check_smp(encoder_decoder: str,
             f"architecture {arch!r} not ported (supported: "
             + ", ".join(SMP_ARCHS) + ")")
     if encoder not in SMP_ENCODERS:
+        if encoder.startswith("tu-"):
+            # smp's TimmUniversalEncoder wraps ANY timm model behind the
+            # 'tu-' prefix — an unbounded surface that cannot be ported
+            # model-by-model. Every encoder smp 0.3.3 registers natively
+            # (including all its timm-* wrapper families) IS ported; point
+            # the user at the equivalent registered name when one exists.
+            hint = encoder[3:]
+            matches = [e for e in SMP_ENCODERS
+                       if e.endswith(hint) or e.replace("timm-", "") == hint]
+            suggestion = (f" — did you mean {matches[0]!r}?" if matches
+                          else "")
+            raise NotImplementedError(
+                f"encoder {encoder!r}: the smp 'tu-' (timm-universal) "
+                "prefix wraps arbitrary timm models and is not ported; "
+                "every encoder registered natively by smp 0.3.3 is "
+                f"supported{suggestion}")
         raise NotImplementedError(
             f"encoder {encoder!r} not ported (supported: "
             + ", ".join(SMP_ENCODERS) + ")")

@@ -30,6 +30,7 @@ def _train_cfg(provider, name):
 def test_config_rejects_unported_names():
     for provider, name in [
         ("SegmentationModelsPytorch", "timm-gernet_xl_unet"),
+        ("SegmentationModelsPytorch", "tu-convnext_base_unet"),
         ("SegmentationModelsPytorch", "resnet34_frobnicate"),
         ("SegmentationModelsPytorch", "nonsense"),
         ("HuggingFace", "Intel/dpt-giant-ade"),
@@ -105,6 +106,15 @@ def test_registry_factory_agree_smp():
                                    "timm-gernet_m_unet")) is not None
     with pytest.raises(NotImplementedError):
         registry.check_smp("timm-gernet_xl_unet")
+    # smp's 'tu-' timm-universal prefix: targeted error with a suggestion
+    # when the wrapped model has a natively-registered equivalent
+    with pytest.raises(NotImplementedError, match="timm-universal"):
+        registry.check_smp("tu-convnext_base_unet")
+    with pytest.raises(NotImplementedError,
+                       match="did you mean 'timm-resnest14d'"):
+        registry.check_smp("tu-resnest14d_unet")
+    with pytest.raises(NotImplementedError, match="did you mean 'resnet34'"):
+        registry.check_smp("tu-resnet34_unet")
     # vgg/densenet reject the dilated archs in the factory too (via check_smp)
     with pytest.raises(ValueError, match="dilated"):
         create_model(_train_cfg("SegmentationModelsPytorch", "vgg11_deeplabv3"))
