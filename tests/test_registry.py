@@ -120,6 +120,26 @@ def test_registry_factory_agree_smp():
         create_model(_train_cfg("SegmentationModelsPytorch", "vgg11_deeplabv3"))
 
 
+@pytest.mark.slow
+def test_every_registered_encoder_dispatches():
+    """Full-surface smoke: every SMP encoder string traces a unet forward
+    to the right logit shape (jax.eval_shape: whole graph exercised
+    abstractly, no params materialized, no compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flairtpu.models.factory import create_model
+
+    x = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    for encoder in registry.SMP_ENCODERS:
+        m = create_model(_train_cfg("SegmentationModelsPytorch",
+                                    f"{encoder}_unet"))
+        out, _ = jax.eval_shape(
+            lambda xx, mm=m: mm.init_with_output(
+                jax.random.PRNGKey(0), xx, train=False), x)
+        assert out.shape == (1, 64, 64, 13), (encoder, out.shape)
+
+
 def test_registry_factory_agree_hf():
     from flairtpu.models.factory import create_model
 
