@@ -140,6 +140,43 @@ def test_every_registered_encoder_dispatches():
         assert out.shape == (1, 64, 64, 13), (encoder, out.shape)
 
 
+@pytest.mark.slow
+def test_every_hf_family_size_dispatches():
+    """Full HF-surface smoke: every registered org-model size traces a
+    forward to the right logit shape (eval_shape, no params/compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flairtpu.models.factory import create_model
+
+    names = (
+        [f"nvidia/segformer-b{i}-finetuned-ade-512-512" for i in range(6)]
+        + [f"openmmlab/upernet-swin-{s}"
+           for s in ("tiny", "small", "base", "large")]
+        + [f"openmmlab/upernet-convnext-{s}"
+           for s in ("tiny", "small", "base", "large", "xlarge")]
+        + ["microsoft/beit-base-finetuned-ade-640-640",
+           "microsoft/beit-large-finetuned-ade-640-640",
+           "facebook/data2vec-vision-base-ft1k",
+           "facebook/data2vec-vision-large-ft1k",
+           "Intel/dpt-base", "Intel/dpt-large-ade", "Intel/dpt-hybrid-midas"]
+        + [f"apple/deeplabv3-mobilevit-{s}"
+           for s in ("small", "x-small", "xx-small")]
+        + [f"apple/mobilevitv2-{w}-imagenet1k-256"
+           for w in ("0.5", "1.0", "2.0")]
+        + ["google/deeplabv3_mobilenet_v2_1.0_513",
+           "google/deeplabv3_mobilenet_v2_1.4_513"])
+    x = jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.float32)
+    for name in names:
+        family, _ = registry.hf_family(name)
+        assert family in registry.HF_FAMILIES, name
+        m = create_model(_train_cfg("HuggingFace", name))
+        out, _ = jax.eval_shape(
+            lambda xx, mm=m: mm.init_with_output(
+                jax.random.PRNGKey(0), xx, train=False), x)
+        assert out.shape == (1, 128, 128, 13), (name, out.shape)
+
+
 def test_registry_factory_agree_hf():
     from flairtpu.models.factory import create_model
 
