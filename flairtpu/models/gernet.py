@@ -28,7 +28,10 @@ Dilated mode (deeplabv3/pan) follows smp's default make_dilated
 stage rate; the projection shortcut built for the original stride-2 block
 survives as a stride-1 1x1). Oracle: hand-built torch mirror
 (tests/torch_ref_gernet.py) + committed key/shape manifests — timm/smp are
-not installed here (caveat as tests/torch_ref.py:1-8).
+not installed here (caveat as tests/torch_ref.py:1-8). The cfg tables are
+independently pinned by the GENet paper's published parameter totals:
+encoder + 1000-way fc = 8.17M / 21.14M / 31.08M for s/m/l, matching the
+paper's 8.17M / 21.1M / 31.0M (tests/test_gernet.py).
 """
 
 from __future__ import annotations

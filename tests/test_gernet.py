@@ -33,6 +33,21 @@ def test_out_channels_match_smp():
         3, 32, 128, 192, 640, 2560)
 
 
+def test_param_counts_match_genet_paper():
+    """Independent oracle for the cfg tables: encoder + 1000-way fc param
+    totals equal the GENet paper's published model sizes (arXiv:2006.14090:
+    8.17M / 21.1M / 31.0M) — pins depths/widths/ratios/groups without timm."""
+    import torch as _t
+
+    want = {"timm-gernet_s": 8.17, "timm-gernet_m": 21.14,
+            "timm-gernet_l": 31.08}
+    for name, total_m in want.items():
+        enc = tg.GERNetEncoderTorch(name, in_channels=3)
+        n = sum(p.numel() for p in enc.parameters())
+        fc = GERNET_SPECS[name][2] * 1000 + 1000
+        assert abs((n + fc) / 1e6 - total_m) < 0.01, (name, (n + fc) / 1e6)
+
+
 CASES = {
     "timm-gernet_s_unet": (
         lambda: tg.GERNetUnet("timm-gernet_s", 5, classes=6),
