@@ -47,3 +47,29 @@ def test_converter_consumes_manifest_and_matches_model(name):
     problems = convert.validate_against(
         variables, {"params": params, "batch_stats": stats}, strict=False)
     assert problems == []
+
+
+def test_check_checkpoint_cli_detects_drift(tmp_path, capsys):
+    """The --check diff tool: a faithful checkpoint passes (rc 0, head/stem
+    shape variance tolerated), a renamed key fails (rc 1)."""
+    import torch
+
+    from tests.gen_smp_manifests import check_checkpoint
+
+    manifest = json.loads((MANIFEST_DIR / "resnet34_unet.json").read_text())
+    sd = {k: torch.zeros(shape) for k, shape in manifest.items()}
+    # classes/channels may differ from the manifest fixture: tolerated
+    sd["segmentation_head.0.weight"] = torch.zeros(19, 16, 3, 3)
+    sd["segmentation_head.0.bias"] = torch.zeros(19)
+    good = tmp_path / "good.pth"
+    torch.save(sd, good)
+    assert check_checkpoint(str(good), "resnet34_unet") == 0
+    assert "OK" in capsys.readouterr().out
+
+    sd["encoder.layer1.0.conv1.weight_RENAMED"] = sd.pop(
+        "encoder.layer1.0.conv1.weight")
+    bad = tmp_path / "bad.pth"
+    torch.save(sd, bad)
+    assert check_checkpoint(str(bad), "resnet34_unet") == 1
+    out = capsys.readouterr().out
+    assert "missing in checkpoint" in out and "unexpected in checkpoint" in out
