@@ -19,9 +19,13 @@
   completing smp 0.3.3's full non-timm encoder surface.
 - :mod:`flairtpu.models.timm_efficientnet` / ``resnest`` / ``res2net`` /
   ``timm_mobilenetv3`` / ``sknet`` / ``regnet`` / ``gernet`` — the
-  timm-wrapper smp encoder families (68 encoder strings), completing
-  smp 0.3.3's ENTIRE encoder surface: every ``<encoder>_<arch>`` string
-  the reference factory accepts (src/flair/model.py:35-41) dispatches.
+  timm-wrapper smp encoder families (66 encoder strings) — and
+  :mod:`flairtpu.models.mobileone` (s0..s4, Apple's reparameterizable
+  family smp vendors natively). Together with the WSL resnext101 width
+  ladder this completes smp 0.3.3's ENTIRE natively-registered encoder
+  surface (124 encoder strings): every ``<encoder>_<arch>`` string the
+  reference factory accepts (src/flair/model.py:35-41) dispatches, except
+  the unbounded ``tu-`` timm-universal prefix (targeted config error).
 - :mod:`flairtpu.models.segformer` / ``swin_upernet`` / ``convnext_upernet`` /
   ``beit_upernet`` (also serving Data2Vec-Vision) / ``dpt`` / ``mobilevit`` /
   ``mobilenet_v2`` — the HuggingFace-provider families (the full transformers

@@ -106,6 +106,11 @@ _GERNET_RE = re.compile(
     r"^encoder\.(?:stages\.(\d+)\.(\d+)\.)?"
     r"(final_conv|conv1_kxk|conv2_kxk|conv1_1x1|conv3_1x1|shortcut)"
     r"\.(conv|bn)\.(.+)$")
+# mobileone (models/mobileone.py): stage0 + stage{n}.{i} blocks of
+# rbr_conv.{j}/rbr_scale ConvBN branches, bare-BN rbr_skip, se.reduce/expand
+_MOBILEONE_RE = re.compile(
+    r"^encoder\.stage(\d)(?:\.(\d+))?\."
+    r"(rbr_conv\.\d+|rbr_scale|rbr_skip|se\.reduce|se\.expand)\.(.+)$")
 # Inception encoders (models/inception.py).  InceptionV4 keys live in a
 # numeric features.{i} Sequential whose rest is always conv.weight / bn.* /
 # conv.{conv,bn}.* (Mixed_3a/5a) / branch*... — distinct from mobilenet_v2's
@@ -518,6 +523,26 @@ def torch_to_flax(sd: Mapping[str, np.ndarray]) -> dict[str, dict]:
                 put_bn(mod + (parts[0], "bn"), leaf, arr)
             else:
                 raise KeyError(f"unrecognized regnet encoder key {key!r}")
+            continue
+        # --- mobileone ---
+        m = _MOBILEONE_RE.match(key)
+        if m:
+            sn, bi, sub, rest = m.groups()
+            mod = ("encoder",
+                   f"stage{sn}" + (f"_{bi}" if bi is not None else ""))
+            if sub.startswith("rbr_conv."):
+                sub = "rbr_conv_" + sub.split(".")[1]
+            if sub == "rbr_skip":  # bare BN branch
+                put_bn(mod + ("rbr_skip",), rest, arr)
+            elif sub.startswith("se."):
+                put("params", mod + ("se", sub.split(".")[1],
+                                     "kernel" if rest == "weight" else rest),
+                    _convert_tensor(rest, arr, "conv"))
+            elif rest.startswith("conv."):
+                put("params", mod + (sub, "conv", "kernel"),
+                    _convert_tensor("weight", arr, "conv"))
+            else:  # bn.*
+                put_bn(mod + (sub, "bn"), rest.split(".", 1)[1], arr)
             continue
         # --- timm-gernet (ByobNet) ---
         m = _GERNET_RE.match(key)

@@ -104,6 +104,11 @@ class FlairSegmentationModel(nn.Module):
 
             return EfficientNetEncoder(name_spec=self.encoder_name,
                                        remat=self.remat, dtype=self.dtype, **kw)
+        if self.encoder_name.startswith("mobileone"):
+            from flairtpu.models.mobileone import MobileOneEncoder
+
+            return MobileOneEncoder(name_spec=self.encoder_name,
+                                    remat=self.remat, dtype=self.dtype, **kw)
         if self.encoder_name == "mobilenet_v2":
             from flairtpu.models.tv_encoders import MobileNetV2SmpEncoder
 

@@ -88,7 +88,6 @@ class GERNetBlock(nn.Module):
 
     kind: str  # 'basic' | 'bottle'
     out_ch: int
-    in_ch: int
     stride: int = 1
     dilation: int = 1
     group_size: int = 0  # 0 -> groups 1; 1 -> depthwise (timm num_groups)
@@ -163,7 +162,7 @@ class GERNetEncoder(nn.Module):
                 orig_stride = s0 if i == 0 else 1
                 stride = 1 if sdil > 1 else orig_stride
                 y = block_cls(
-                    kind, c, in_ch, stride=stride, dilation=sdil,
+                    kind, c, stride=stride, dilation=sdil,
                     group_size=gs, bottle_ratio=br,
                     proj=(orig_stride != 1 or in_ch != c),
                     dtype=self.dtype, name=f"stages_{s}_{i}")(y, train)

@@ -24,9 +24,12 @@ SMP_ARCHS = ("unet", "unetplusplus", "manet", "linknet", "fpn", "pspnet",
 
 # encoder families ported to Flax (smp.create_model's encoder_name argument)
 RESNET_ENCODERS = ("resnet18", "resnet34", "resnet50", "resnet101",
-                   "resnet152", "resnext50_32x4d", "resnext101_32x8d")
+                   "resnet152", "resnext50_32x4d", "resnext101_32x4d",
+                   "resnext101_32x8d", "resnext101_32x16d",
+                   "resnext101_32x32d", "resnext101_32x48d")
 EFFICIENTNET_ENCODERS = tuple(f"efficientnet-b{i}" for i in range(8))
 MOBILENET_ENCODERS = ("mobilenet_v2",)
+MOBILEONE_ENCODERS = tuple(f"mobileone_s{i}" for i in range(5))
 VGG_ENCODERS = tuple(n for b in ("vgg11", "vgg13", "vgg16", "vgg19")
                      for n in (b, b + "_bn"))
 DENSENET_ENCODERS = ("densenet121", "densenet161", "densenet169", "densenet201")
@@ -59,6 +62,7 @@ REGNET_ENCODERS = tuple(
               "080", "120", "160", "320"))
 GERNET_ENCODERS = ("timm-gernet_s", "timm-gernet_m", "timm-gernet_l")
 SMP_ENCODERS = (RESNET_ENCODERS + EFFICIENTNET_ENCODERS + MOBILENET_ENCODERS
+                + MOBILEONE_ENCODERS
                 + VGG_ENCODERS + DENSENET_ENCODERS + SENET_ENCODERS
                 + XCEPTION_ENCODERS + MIT_ENCODERS + DPN_ENCODERS
                 + INCEPTION_ENCODERS + TIMM_EFFICIENTNET_ENCODERS
@@ -104,7 +108,7 @@ def check_smp(encoder_decoder: str,
             # the user at the equivalent registered name when one exists.
             hint = encoder[3:]
             matches = [e for e in SMP_ENCODERS
-                       if e.endswith(hint) or e.replace("timm-", "") == hint]
+                       if hint and e in (hint, "timm-" + hint)]
             suggestion = (f" — did you mean {matches[0]!r}?" if matches
                           else "")
             raise NotImplementedError(

@@ -28,7 +28,13 @@ RESNET_SPECS = {
     "resnet101": ("bottleneck", (3, 4, 23, 3), 1, 64),
     "resnet152": ("bottleneck", (3, 8, 36, 3), 1, 64),
     "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 32, 4),
+    # resnext101 width ladder incl. the Instagram-WSL variants smp registers
+    # natively (smp/encoders/resnet.py)
+    "resnext101_32x4d": ("bottleneck", (3, 4, 23, 3), 32, 4),
     "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 32, 8),
+    "resnext101_32x16d": ("bottleneck", (3, 4, 23, 3), 32, 16),
+    "resnext101_32x32d": ("bottleneck", (3, 4, 23, 3), 32, 32),
+    "resnext101_32x48d": ("bottleneck", (3, 4, 23, 3), 32, 48),
 }
 
 _BN_EPS = 1e-5  # torch nn.BatchNorm2d default

@@ -33,7 +33,8 @@ SLOW_MODULES = {
     "test_remat_accum", "test_dry_dock", "test_tv_encoders", "test_senet",
     "test_xception", "test_mit", "test_dpn", "test_inception",
     "test_timm_en", "test_resnest", "test_res2net", "test_timm_mnv3",
-    "test_sknet", "test_regnet", "test_gernet",
+    "test_sknet", "test_regnet", "test_gernet", "test_resnext_wsl",
+    "test_mobileone",
 }
 
 

@@ -74,6 +74,8 @@ MIRRORS = {
     "timm-regnety_016_unet": ("RegNetUnet", {"name": "timm-regnety_016"}),
     "timm-gernet_s_unet": ("GERNetUnet", {"name": "timm-gernet_s"}),
     "timm-gernet_l_unet": ("GERNetUnet", {"name": "timm-gernet_l"}),
+    "mobileone_s0_unet": ("MobileOneUnet", {"name": "mobileone_s0"}),
+    "mobileone_s4_unet": ("MobileOneUnet", {"name": "mobileone_s4"}),
 }
 
 
@@ -83,9 +85,9 @@ def manifest_for(name: str) -> dict[str, list[int]]:
 
     cls_name, kwargs = MIRRORS[name]
     from tests import (torch_ref_dpn, torch_ref_gernet, torch_ref_inception,
-                       torch_ref_mit, torch_ref_res2net, torch_ref_resnest,
-                       torch_ref_regnet, torch_ref_sknet, torch_ref_timm_en,
-                       torch_ref_timm_mnv3)
+                       torch_ref_mit, torch_ref_mobileone, torch_ref_res2net,
+                       torch_ref_resnest, torch_ref_regnet, torch_ref_sknet,
+                       torch_ref_timm_en, torch_ref_timm_mnv3)
 
     cls = getattr(torch_ref, cls_name, None) or \
         getattr(torch_ref_efficientnet, cls_name, None) or \
@@ -101,6 +103,7 @@ def manifest_for(name: str) -> dict[str, list[int]]:
         getattr(torch_ref_sknet, cls_name, None) or \
         getattr(torch_ref_regnet, cls_name, None) or \
         getattr(torch_ref_gernet, cls_name, None) or \
+        getattr(torch_ref_mobileone, cls_name, None) or \
         getattr(torch_ref_ptm, cls_name)
     # kwargs may override in_channels (mit encoders are fixed at 3)
     model = cls(**{"in_channels": 5, "classes": 13, **kwargs})
@@ -132,12 +135,18 @@ def check_checkpoint(ckpt: str, name: str) -> int:
         print(f"unexpected in checkpoint: {k} {got[k]}")
         rc = 1
     for k in sorted(set(want) & set(got)):
-        if want[k] != got[k] and k != "segmentation_head.0.weight" \
-                and k != "segmentation_head.0.bias" \
-                and not k.startswith("encoder.conv1."):
-            # head/stem shapes legitimately vary with classes/channels
-            print(f"shape mismatch {k}: manifest {want[k]} vs ckpt {got[k]}")
-            rc = 1
+        if want[k] == got[k] or k in ("segmentation_head.0.weight",
+                                      "segmentation_head.0.bias"):
+            continue  # head shapes legitimately vary with classes
+        # stem convs legitimately vary with in_channels: the manifests are
+        # generated at in_channels=5, and every family's first conv is the
+        # only 4-d weight with a 5-wide input dim — tolerate a mismatch
+        # confined to dim 1 there (works for conv1/stem.conv/_conv_stem/...)
+        if (len(want[k]) == 4 and want[k][1] == 5 and len(got[k]) == 4
+                and want[k][0] == got[k][0] and want[k][2:] == got[k][2:]):
+            continue
+        print(f"shape mismatch {k}: manifest {want[k]} vs ckpt {got[k]}")
+        rc = 1
     print("OK" if rc == 0 else "MISMATCH")
     return rc
 

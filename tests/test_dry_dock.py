@@ -70,12 +70,13 @@ def test_flair_inc_shaped_pth_loads_strict_every_arch(arch, tmp_path, rng):
                                      "inceptionresnetv2",
                                      "timm-efficientnet-b0",
                                      "timm-resnest14d",
-                                     "timm-gernet_s"])
+                                     "timm-gernet_s", "mobileone_s0"])
 def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
     """The non-resnet smp encoder families through the same file-on-disk ->
     load_pretrained strict route (unet decoder)."""
     from tests import torch_ref_dpn as tdp
     from tests import torch_ref_gernet as tgn
+    from tests import torch_ref_mobileone as tmn
     from tests import torch_ref_inception as tin
     from tests import torch_ref_resnest as trn
     from tests import torch_ref_timm_en as ttn
@@ -102,6 +103,8 @@ def test_nonresnet_encoder_pth_loads_strict(encoder, tmp_path, rng):
             "timm-resnest14d", in_channels=3, classes=15),
         "timm-gernet_s": lambda: tgn.GERNetUnet("timm-gernet_s",
                                                 in_channels=3, classes=15),
+        "mobileone_s0": lambda: tmn.MobileOneUnet("mobileone_s0",
+                                                  in_channels=3, classes=15),
     }
     torch.manual_seed(3)
     tm = builders[encoder]()

@@ -1,5 +1,6 @@
-"""timm-gernet smp encoders: Flax vs torch-mirror parity, converter
-structure, factory e2e (the last smp 0.3.3 encoder family)."""
+"""mobileone_s0..s4 smp encoders: Flax vs torch-mirror parity (training-mode
+branch topology), paper-pinned fused sizes, converter structure, factory
+e2e."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -9,8 +10,8 @@ import torch
 from flairtpu.models import convert
 from flairtpu.models.factory import (FlairSegmentationModel, create_model,
                                      init_model)
-from flairtpu.models.gernet import GERNET_SPECS, GERNetEncoder
-from tests import torch_ref_gernet as tg
+from flairtpu.models.mobileone import MobileOneEncoder, mobileone_out_channels
+from tests import torch_ref_mobileone as tmo
 
 
 def _randomize_bn(m):
@@ -24,48 +25,52 @@ def _randomize_bn(m):
 
 
 def test_out_channels_match_smp():
-    # smp/encoders/timm_gernet.py published values
-    assert GERNetEncoder(name_spec="timm-gernet_s").out_channels == (
-        3, 13, 48, 48, 384, 1920)
-    assert GERNetEncoder(name_spec="timm-gernet_m").out_channels == (
-        3, 32, 128, 192, 640, 2560)
-    assert GERNetEncoder(name_spec="timm-gernet_l").out_channels == (
-        3, 32, 128, 192, 640, 2560)
+    # smp/encoders/mobileone.py published out_channels
+    want = {
+        "mobileone_s0": (3, 48, 48, 128, 256, 1024),
+        "mobileone_s1": (3, 64, 96, 192, 512, 1280),
+        "mobileone_s2": (3, 64, 96, 256, 640, 2048),
+        "mobileone_s3": (3, 64, 128, 320, 768, 2048),
+        "mobileone_s4": (3, 64, 192, 448, 896, 2048),
+    }
+    for name, chans in want.items():
+        assert mobileone_out_channels(name) == chans
+        assert MobileOneEncoder(name_spec=name).out_channels == chans
 
 
-def test_param_counts_match_genet_paper():
-    """Independent oracle for the cfg tables: encoder + 1000-way fc param
-    totals equal the GENet paper's published model sizes (arXiv:2006.14090:
-    8.17M / 21.1M / 31.0M) — pins depths/widths/ratios/groups without timm."""
-    want = {"timm-gernet_s": 8.17, "timm-gernet_m": 21.14,
-            "timm-gernet_l": 31.08}
+def test_fused_param_totals_match_paper():
+    """Reparameterized (inference) sizes incl. the 1000-way fc equal the
+    MobileOne paper's published totals (arXiv:2206.04040 Table 4:
+    2.1 / 4.8 / 7.8 / 10.1 / 14.8 M) — pins widths, block plan and SE."""
+    want = {"mobileone_s0": 2.08, "mobileone_s1": 4.76, "mobileone_s2": 7.81,
+            "mobileone_s3": 10.08, "mobileone_s4": 14.84}
     for name, total_m in want.items():
-        enc = tg.GERNetEncoderTorch(name, in_channels=3)
-        n = sum(p.numel() for p in enc.parameters())
-        fc = GERNET_SPECS[name][2] * 1000 + 1000
-        assert abs((n + fc) / 1e6 - total_m) < 0.01, (name, (n + fc) / 1e6)
+        enc = tmo.MobileOneEncoderTorch(name)
+        fc = mobileone_out_channels(name)[-1] * 1000 + 1000
+        got = (enc.fused_param_count() + fc) / 1e6
+        assert abs(got - total_m) < 0.01, (name, got)
 
 
 CASES = {
-    "timm-gernet_s_unet": (
-        lambda: tg.GERNetUnet("timm-gernet_s", 5, classes=6),
-        "timm-gernet_s", "unet", 64, 5),
-    "timm-gernet_m_unet": (
-        lambda: tg.GERNetUnet("timm-gernet_m", 4, classes=6),
-        "timm-gernet_m", "unet", 64, 4),
-    "timm-gernet_l_fpn": (
-        lambda: tg.GERNetFPN("timm-gernet_l", classes=6),
-        "timm-gernet_l", "fpn", 64, 3),
-    "timm-gernet_s_deeplabv3plus": (
-        lambda: tg.GERNetDeepLabV3Plus("timm-gernet_s", classes=6),
-        "timm-gernet_s", "deeplabv3plus", 64, 3),
+    "mobileone_s0_unet": (
+        lambda: tmo.MobileOneUnet("mobileone_s0", 5, classes=6),
+        "mobileone_s0", "unet", 64, 5),
+    "mobileone_s1_unet": (
+        lambda: tmo.MobileOneUnet("mobileone_s1", 4, classes=6),
+        "mobileone_s1", "unet", 64, 4),
+    "mobileone_s4_fpn": (
+        lambda: tmo.MobileOneFPN("mobileone_s4", classes=6),
+        "mobileone_s4", "fpn", 64, 3),
+    "mobileone_s0_deeplabv3plus": (
+        lambda: tmo.MobileOneDeepLabV3Plus("mobileone_s0", classes=6),
+        "mobileone_s0", "deeplabv3plus", 64, 3),
 }
 
 
 @pytest.fixture(scope="module", params=sorted(CASES))
 def case(request):
     builder, enc, arch, size, in_ch = CASES[request.param]
-    torch.manual_seed(29)
+    torch.manual_seed(37)
     tm = _randomize_bn(builder())
     return enc, arch, size, in_ch, tm
 
@@ -102,7 +107,7 @@ def test_factory_dispatch_and_forward():
     cfg = {"model_framework": {
         "model_provider": "SegmentationModelsPytorch",
         "SegmentationModelsPytorch": {
-            "encoder_decoder": "timm-gernet_s_unet"}},
+            "encoder_decoder": "mobileone_s0_unet"}},
         "n_classes": 5, "channels": [1, 2, 3]}
     m = create_model(cfg)
     params, stats = init_model(m, (1, 64, 64, 3))

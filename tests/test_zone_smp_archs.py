@@ -40,6 +40,7 @@ from flairtpu.train.checkpoints import save_weights_msgpack
     ("timm-skresnet18_unet", 64, (96, 128), [1, 2, 3]),
     ("timm-regnety_002_unet", 64, (96, 128), [1, 2, 3, 4]),
     ("timm-gernet_s_unet", 64, (96, 128), [1, 2, 3, 4]),
+    ("mobileone_s0_unet", 64, (96, 128), [1, 2, 3]),
 ])
 def test_zone_pipeline_with_smp_arch(tmp_path, rng, encoder_decoder, tile,
                                      zone_hw, channels):
