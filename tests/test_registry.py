@@ -201,6 +201,19 @@ def test_registry_factory_agree_hf():
             create_model(_train_cfg("HuggingFace", name))
 
 
+def test_hf_families_cover_installed_transformers_registry():
+    """Live-oracle completeness guard: the installed transformers'
+    AutoModelForSemanticSegmentation registry contains exactly the model
+    types flairtpu ports (upernet = the swin/convnext backbones the
+    published openmmlab checkpoints use). A transformers upgrade that adds
+    a new seg family fails here instead of silently shrinking coverage."""
+    from transformers.models.auto.modeling_auto import (
+        MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES as NAMES)
+
+    assert set(NAMES) == {"beit", "data2vec-vision", "dpt", "mobilenet_v2",
+                          "mobilevit", "mobilevitv2", "segformer", "upernet"}
+
+
 def test_unknown_ckpt_monitor_raises(tmp_path):
     """fit() fails fast on a monitor that will never be logged
     (train/loop.py; the reference's Lightning raises the same way)."""
