@@ -109,3 +109,32 @@ def test_factory_dispatch_and_forward():
     out = m.apply({"params": params, "batch_stats": stats},
                   jnp.zeros((1, 64, 64, 3)), train=False)
     assert out.shape == (1, 64, 64, 5)
+
+
+def test_train_step(rng):
+    """timm-gernet_s_unet trains through the jitted step (depthwise br=3
+    bottlenecks + BN stats through every branch)."""
+    import jax
+
+    from flairtpu.train.loop import SegmentationTrainer
+
+    config = {
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {
+                "encoder_decoder": "timm-gernet_s_unet"}},
+        "use_metadata": False, "use_augmentation": True, "use_weights": True,
+        "channels": [1, 2, 3], "norm_type": "scaling",
+        "norm_means": [], "norm_stds": [],
+        "classes": {i: [1, f"c{i}"] for i in range(1, 5)},
+        "batch_size": 2, "learning_rate": 0.01, "seed": 0,
+    }
+    t = SegmentationTrainer(config)
+    step = t.train_step()
+    batch = {"img": rng.integers(0, 255, size=(2, 64, 64, 3)).astype(np.uint8),
+             "msk": rng.integers(0, 4, size=(2, 64, 64)).astype(np.int32)}
+    img, msk, mtd = t._put(batch)
+    p, s, o, loss, cm, _ = step(t.params, t.batch_stats, t.opt_state,
+                                img, msk, mtd, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert np.asarray(cm).sum() == 2 * 64 * 64
