@@ -115,6 +115,44 @@ def forward_flops_per_patch() -> float:
     return fl
 
 
+def train_flops_per_patch() -> float:
+    """Analytic FLOPs of one flagship TRAIN step per patch (fwd + bwd).
+
+    Training decodes the FULL 512^2 output (no inner-margin crop — the loss
+    needs every pixel), so the forward is costed with the full-size decoder
+    blocks (32..512^2), and the backward is the standard 2x forward (grad
+    wrt inputs + grad wrt weights). BN-stat/optimizer/loss elementwise work
+    is excluded (memory-bound, not MXU FLOPs) — same convention as the
+    zone `mfu`.
+    """
+    fl = 0.0
+
+    def conv(k, cin, cout, h, w):
+        nonlocal fl
+        fl += 2.0 * k * k * cin * cout * h * w
+
+    S = 512
+    conv(7, 5, 64, S // 2, S // 2)
+    for units, cin, cout, s in ((3, 64, 64, 4), (4, 64, 128, 8),
+                                (6, 128, 256, 16), (3, 256, 512, 32)):
+        h = S // s
+        conv(3, cin, cout, h, h)
+        conv(3, cout, cout, h, h)
+        if cin != cout:
+            conv(1, cin, cout, h, h)
+        for _ in range(units - 1):
+            conv(3, cout, cout, h, h)
+            conv(3, cout, cout, h, h)
+    dec_hw = (32, 64, 128, 256, 512)
+    dec_cin = (512 + 256, 256 + 128, 128 + 64, 64 + 64, 32)
+    dec_cout = (256, 128, 64, 32, 16)
+    for (h, cin, cout) in zip(dec_hw, dec_cin, dec_cout):
+        conv(3, cin, cout, h, h)
+        conv(3, cout, cout, h, h)
+    conv(3, 16, N_CLASSES, S, S)
+    return 3.0 * fl  # fwd + 2x bwd
+
+
 def measure_compute_chain(engine, stride: int) -> float | None:
     """Device-compute patches/s of the production exact-clipping program,
     measured RTT-free by chain-length differencing.
@@ -354,6 +392,12 @@ def main() -> None:
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         train_pps = measure_train_pps()
         line["train_patches_per_sec"] = round(train_pps, 2)
+        if backend == "tpu":
+            # chip efficiency of the full train step (fwd+bwd conv FLOPs over
+            # the bf16 peak), stated like the zone `mfu`
+            line["train_flops_per_patch"] = round(train_flops_per_patch())
+            line["train_mfu"] = round(
+                train_flops_per_patch() * train_pps / PEAK_FLOPS, 4)
     print(json.dumps(line))
 
 
