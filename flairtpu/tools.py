@@ -96,6 +96,101 @@ def make_toy_dataset(root: Path, n_train: int = 32, n_val: int = 8, n_test: int 
     return conf_path
 
 
+def make_toy_zone(root: Path, zone: int = 2048, n_classes: int = 13,
+                  n_channels: int = 5, seed: int = 2022) -> Path:
+    """Synthetic flair-detect quickstart: a georeferenced zone raster, a truth
+    raster, random-init native weights, and ready-to-run detect + compare
+    configs (the detect analog of make_toy_dataset; reference zone inputs are
+    described in README:151-156 and configs/flair-1-config-detect*.yaml)."""
+    import yaml as _yaml
+
+    import jax.numpy as jnp
+
+    from flairtpu.models.factory import create_model, init_model
+    from flairtpu.train.checkpoints import save_weights_msgpack
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # zone image: blockwise class map with the same learnable channel-0 signal
+    # as the toy patches, so a model trained on the toy dataset transfers
+    blocks = max(zone // 64, 1)
+    cls = rng.integers(0, n_classes, size=(blocks, blocks))
+    msk = np.kron(cls, np.ones((zone // blocks, zone // blocks), np.int64))
+    msk = msk[:zone, :zone]
+    img = rng.integers(0, 40, size=(n_channels, zone, zone)).astype(np.uint8)
+    img[0] = (msk * (200 // max(n_classes - 1, 1)) + 20).astype(np.uint8)
+    tr = Affine.from_origin(700000.0, 6600000.0, 0.2, 0.2)
+    zone_path = root / "toy-zone.tif"
+    truth_path = root / "toy-zone-truth.tif"
+    write_array(zone_path, img, transform=tr, crs=2154,
+                blockxsize=512, blockysize=512)
+    # truth classes are 1-based on disk; zone metrics read truth - 1
+    # (reference zone_detect/utils.py:282-297)
+    write_array(truth_path, (msk + 1).astype(np.uint8), transform=tr, crs=2154)
+
+    config = {
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_unet"},
+        },
+        "channels": list(range(1, n_channels + 1)),
+        "n_classes": n_classes,
+    }
+    model = create_model(config)
+    params, stats = init_model(model, (1, 64, 64, n_channels), seed=seed)
+    weights_path = root / "toy-weights.msgpack"
+    save_weights_msgpack(weights_path, params, stats)
+
+    detect = {
+        "output_path": str(root / "out"),
+        "output_name": "toy-zone-ARGMAX-S",
+        "input_img_path": str(zone_path),
+        "channels": list(range(1, n_channels + 1)),
+        "img_pixels_detection": 512,
+        "margin": 128,
+        "output_type": "argmax",
+        "n_classes": n_classes,
+        "model_weights": str(weights_path),
+        "model_framework": config["model_framework"],
+        "batch_size": 8,
+        "use_gpu": True,
+        "num_worker": 4,
+        "write_dataframe": False,
+        "norma_task": [{"norm_type": "scaling",
+                        "norm_means": [], "norm_stds": []}],
+    }
+    conf_path = root / "toy-config-detect.yaml"
+    with open(conf_path, "w") as f:
+        _yaml.safe_dump(detect, f)
+
+    compare = dict(
+        detect,
+        output_path=str(root / "out-compare"),
+        truth_path=str(truth_path),
+        metrics_out=str(root / "out-compare" / "metrics.json"),
+        overlap_strat=True,
+        strategies={
+            "tiling": {"enabled": True, "size_range": [512],
+                       "stride_range": [0.75]},
+            "stitching": {"enabled": True,
+                          "methods": ["average", "exact-clipping"],
+                          "margin": [0.25]},
+            "padding_overall": None,
+        },
+        classes={i + 1: [1, f"class_{i}"] for i in range(n_classes)},
+    )
+    compare_path = root / "toy-config-detect-compare.yaml"
+    with open(compare_path, "w") as f:
+        _yaml.safe_dump(compare, f)
+
+    print(f"toy zone written under {root}")
+    print(f"run: flair-detect --conf={conf_path}")
+    print(f"     flair-detect --conf={compare_path} -c -m")
+    return conf_path
+
+
 def convert_weights(src: Path, dst: Path, conf: Path | None) -> None:
     """torch .pth/.ckpt -> native .msgpack weights, validated against the
     model described by --conf when given (smp / SegFormer / UperNet families)."""
@@ -157,6 +252,14 @@ def main(argv=None):
                    help="crop this margin from the logits (zone payload)")
     x.add_argument("--platforms", default=None,
                    help="comma list, e.g. tpu,cpu (default: current backend)")
+    z = sub.add_parser("make-toy-zone",
+                       help="generate a synthetic flair-detect quickstart "
+                            "(zone raster + truth + weights + configs)")
+    z.add_argument("--root", default="toy_zone")
+    z.add_argument("--zone", type=int, default=2048)
+    z.add_argument("--classes", type=int, default=13)
+    z.add_argument("--channels", type=int, default=5)
+    z.add_argument("--seed", type=int, default=2022)
     c = sub.add_parser("convert-weights",
                        help="convert a torch .pth/.ckpt to native .msgpack")
     c.add_argument("src")
@@ -178,6 +281,9 @@ def main(argv=None):
     elif args.cmd == "make-toy-dataset":
         make_toy_dataset(Path(args.root), args.train, args.val, args.test,
                          args.size, args.classes, args.channels, args.seed)
+    elif args.cmd == "make-toy-zone":
+        make_toy_zone(Path(args.root), args.zone, args.classes,
+                      args.channels, args.seed)
     elif args.cmd == "convert-weights":
         convert_weights(Path(args.src), Path(args.dst),
                         Path(args.conf) if args.conf else None)
