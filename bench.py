@@ -387,6 +387,7 @@ def main() -> None:
             line["mfu"] = round(
                 forward_flops_per_patch() * (chain_pps or compute_pps)
                 / PEAK_FLOPS, 4)
+    _stash_partial(line)
     # train-step throughput, captured by the driver every round (previously
     # only reachable via BENCH_MODE=train, which the driver never runs)
     if not os.environ.get("BENCH_SKIP_TRAIN"):
@@ -399,6 +400,21 @@ def main() -> None:
             line["train_mfu"] = round(
                 train_flops_per_patch() * train_pps / PEAK_FLOPS, 4)
     print(json.dumps(line))
+
+
+_PARTIAL_PATH = f"/tmp/flairtpu_bench_partial_{os.getpid()}.json"
+
+
+def _stash_partial(line: dict) -> None:
+    """Persist measured-so-far results for the watchdog: if a later stage
+    hangs on the tunnel (e.g. the train-step measurement after the zone pass
+    already succeeded), the timeout line should carry the real numbers we
+    have, not zeros."""
+    try:
+        with open(_PARTIAL_PATH, "w") as f:
+            json.dump(line, f)
+    except OSError:
+        pass
 
 
 def _watchdog(seconds: int):
@@ -419,13 +435,24 @@ def _watchdog(seconds: int):
             os.kill(parent, 0)  # still alive?
         except OSError:
             os._exit(0)
-        print(json.dumps({
+        line = {
             "metric": "zone-detect 512^2 5-ch patches/sec/chip "
                       f"(TIMEOUT after {seconds}s: TPU tunnel unresponsive)",
             "value": 0.0,
             "unit": "patches/sec",
             "vs_baseline": 0.0,
-        }), flush=True)
+        }
+        try:  # measured-so-far results stashed by the parent (see
+            # _stash_partial): a hang in a late stage must not zero out the
+            # zone numbers already measured
+            with open(_PARTIAL_PATH) as f:
+                partial = json.load(f)
+            partial["metric"] += (f" (TIMEOUT after {seconds}s in a later "
+                                  "bench stage: TPU tunnel unresponsive)")
+            line = partial
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(line), flush=True)
         try:
             os.kill(parent, signal.SIGKILL)
         finally:
@@ -435,6 +462,10 @@ def _watchdog(seconds: int):
         try:
             os.kill(child, signal.SIGKILL)
             os.waitpid(child, 0)
+        except OSError:
+            pass
+        try:
+            os.unlink(_PARTIAL_PATH)
         except OSError:
             pass
 
