@@ -9,6 +9,7 @@ into the configured model.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import yaml
 
 from flairtpu import config as cfgmod
@@ -16,6 +17,7 @@ from flairtpu.io import TiffReader
 from flairtpu.tools import main as tools_main
 
 
+@pytest.mark.slow  # resnet34 init dominates (~100s CPU)
 def test_make_toy_zone_artifacts(tmp_path):
     root = tmp_path / "tz"
     tools_main(["make-toy-zone", "--root", str(root), "--zone", "640",
