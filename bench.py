@@ -304,7 +304,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     from flairtpu.models.factory import create_model, init_model
+    from flairtpu.utils.compile_cache import enable_compile_cache
     from flairtpu.zone.engine import ZoneEngine
+
+    # persistent XLA cache: repeat driver runs skip the 20-40 s remote
+    # compiles (compile time is outside the measured passes either way)
+    enable_compile_cache()
 
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32

@@ -19,6 +19,7 @@ from pathlib import Path
 
 from flairtpu import config as cfgmod
 from flairtpu.parallel.mesh import initialize_distributed, is_main_process
+from flairtpu.utils.compile_cache import enable_compile_cache
 from flairtpu.utils.logger import tee_stdout, untee_stdout
 from flairtpu.utils.recap import print_recap
 
@@ -33,6 +34,7 @@ def flair_main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     initialize_distributed()
+    enable_compile_cache()
     config = cfgmod.validate_train_config(cfgmod.read_config(args.conf))
     if config.get("accelerator") == "cpu":  # honor the reference's knob
         import jax
@@ -117,6 +119,7 @@ def detect_main(argv=None) -> None:
                         help="run on a batch of input images")
     args = parser.parse_args(argv)
 
+    enable_compile_cache()
     config = cfgmod.read_config(args.conf)
     config["metrics"] = args.metrics
     config["batch_mode"] = args.batch_mode
