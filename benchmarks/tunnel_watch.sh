@@ -40,6 +40,7 @@ run() { # run <timeout_s> <label> <cmd...>
 }
 
 run 900  int8_probe        python benchmarks/int8_probe.py
+run 1800 int8_zone         python benchmarks/int8_zone.py
 run 1800 zone_scan_unroll  python benchmarks/zone_scan_unroll.py
 run 1500 train_split       python benchmarks/train_split.py
 run 3000 remat_accum       python benchmarks/remat_accum.py

@@ -236,6 +236,29 @@ def validate_detect_config(cfg: dict) -> dict:
     if isinstance(cfg.get("model_framework"), dict):
         _validate_model_name(cfg["model_framework"], n_channels=len(channels))
 
+    quant = cfg.get("quantize")
+    if quant not in (None, False, "int8"):
+        raise ConfigError(
+            "quantize: 'int8' is the only supported value (or omit the key).")
+    if quant:
+        from flairtpu.models.registry import RESNET_ENCODERS, check_smp
+
+        mf = cfg.get("model_framework") or {}
+        enc = None
+        if (isinstance(mf, dict)
+                and mf.get("model_provider") == "SegmentationModelsPytorch"):
+            try:
+                enc, _ = check_smp(
+                    (mf.get("SegmentationModelsPytorch") or {})
+                    .get("encoder_decoder", ""))
+            except Exception:
+                enc = None  # the model name itself was already validated above
+        if enc not in RESNET_ENCODERS:
+            raise ConfigError(
+                "quantize: int8 requires a SegmentationModelsPytorch "
+                "ResNet-family encoder (one of: "
+                + ", ".join(RESNET_ENCODERS) + ").")
+
     weights = _require(cfg, "model_weights")
     if not os.path.isfile(weights):
         raise ConfigError(f"Model weights file does not exist: {weights}")

@@ -239,11 +239,24 @@ class FlairSegmentationModel(nn.Module):
                 raise ValueError("use_metadata=True but no metadata passed")
             emb = self.metadata_mlp(mtd, train=train)
             feats = feats[:-1] + [fuse_metadata(feats[-1], emb)]
+        return self.decode(feats, train=train, inner_margin=inner_margin)
+
+    def decode(self, feats: list[jax.Array], train: bool = False,
+               inner_margin: int | None = None) -> jax.Array:
+        """Decoder + head on precomputed encoder features — the post-encoder
+        slice of ``__call__``. Also the entry point for the int8-quantized
+        zone path (models/quantize.py), whose encoder runs outside Flax:
+        ``model.apply(variables, feats, method="decode")``.
+
+        ``feats[0]`` must be the input-resolution feature (smp's identity
+        stage 0) — the inner-margin plan and the bilinear upsample factors
+        derive the tile size from it.
+        """
         if inner_margin is not None:
             if self.arch != "unet":
                 raise NotImplementedError("inner_margin requires arch 'unet'")
             m = inner_margin
-            S = x.shape[1]
+            S = feats[0].shape[1]
             y, off = self.decoder(feats, train=train, inner_margin=m)
             logits = self.segmentation_head(y)
             logits = logits[:, m - off : S - m - off, m - off : S - m - off, :]

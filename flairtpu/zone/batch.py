@@ -44,6 +44,10 @@ def batch_metrics_pipeline(config: dict) -> None:
     # model per zone, main.py:440-497), and a one-deep prefetch: the next
     # zone's decode + H2D transfer run while the current zone computes and
     # writes — the transfer is the end-to-end bottleneck (PERFORMANCE.md)
+    if jobs and config.get("quantize"):
+        # int8 activation scales calibrate on the department's first zone
+        # and are reused across its zones (one quantization per department)
+        config["input_img_path"] = str(jobs[0][0])
     model, params, batch_stats = prepare_model(config)
     engine = ZoneEngine(config, model, params, batch_stats)
     from flairtpu.zone.grid import get_stride

@@ -53,7 +53,15 @@ def prepare_model(config: dict, dtype=None):
         config["model_weights"], {"params": params, "batch_stats": batch_stats},
         strict=True)
     print("    [x] loaded model and weights...")
-    return model, variables["params"], variables["batch_stats"]
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if config.get("quantize"):
+        from flairtpu.models.quantize import (quantize_model,
+                                              read_calibration_batches)
+
+        model = quantize_model(config, model, params, batch_stats,
+                               read_calibration_batches(config))
+        print("    [x] int8-quantized encoder (w8a8, calibrated on the zone)...")
+    return model, params, batch_stats
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,215 @@
+"""int8 PTQ zone path (models/quantize.py): folding, walk parity, e2e."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flairtpu import config as cfgmod
+from flairtpu.config import ConfigError
+from flairtpu.data.normalize import normalize_device
+from flairtpu.models.factory import create_model, init_model
+from flairtpu.models.quantize import (QuantizedZoneModel, _float_conv,
+                                      calibrate, fold_encoder, quantize_folded,
+                                      quantize_model, walk_features)
+
+NORM = dict(norm_type="scaling", means=(), stds=())
+
+
+def _model_config(encoder_decoder: str, n_classes: int = 7) -> dict:
+    return {
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": encoder_decoder},
+        },
+        "n_classes": n_classes, "channels": [1, 2, 3, 4, 5],
+        "norma_task": [{"norm_type": "scaling", "norm_means": [],
+                        "norm_stds": []}],
+    }
+
+
+def _randomize_bn(params, stats, seed=0):
+    """Random BN affine + running stats so folding is non-trivial."""
+    rng = np.random.default_rng(seed)
+
+    def pp(path, leaf):
+        name = path[-1].key
+        if name == "scale":
+            return jnp.asarray(rng.uniform(0.5, 1.5, leaf.shape), leaf.dtype)
+        if name == "bias":
+            return jnp.asarray(rng.normal(0.0, 0.3, leaf.shape), leaf.dtype)
+        return leaf
+
+    def ps(path, leaf):
+        name = path[-1].key
+        if name == "mean":
+            return jnp.asarray(rng.normal(0.0, 0.5, leaf.shape), leaf.dtype)
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.5, 2.0, leaf.shape), leaf.dtype)
+        return leaf
+
+    return (jax.tree_util.tree_map_with_path(pp, params),
+            jax.tree_util.tree_map_with_path(ps, stats))
+
+
+@pytest.mark.parametrize("spec,arch", [("resnet34", "unet"),
+                                       ("resnet50", "fpn")])
+def test_float_walk_matches_flax_encoder(spec, arch):
+    cfg = _model_config(f"{spec}_{arch}")
+    model = create_model(cfg)
+    params, stats = init_model(model, (1, 64, 64, 5), seed=3)
+    params, stats = _randomize_bn(params, stats, seed=4)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 64, 64, 5)),
+                    jnp.float32)
+    ref = model.apply({"params": params, "batch_stats": stats}, x,
+                      method=lambda m, v: m.encoder(v.astype(m.dtype),
+                                                    train=False))
+    folded = fold_encoder(params, stats)
+    got = walk_features(spec, _float_conv(folded, None), x)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def _quantized_pair(encoder_decoder: str, seed=11):
+    cfg = _model_config(encoder_decoder)
+    model = create_model(cfg)
+    params, stats = init_model(model, (1, 64, 64, 5), seed=seed)
+    params, stats = _randomize_bn(params, stats, seed=seed + 1)
+    rng = np.random.default_rng(seed + 2)
+    calib = [rng.integers(0, 255, (2, 64, 64, 5)).astype(np.uint8)
+             for _ in range(2)]
+    qmodel = quantize_model(cfg, model, params, stats, calib)
+    variables = {"params": params, "batch_stats": stats}
+    return model, qmodel, variables, rng
+
+
+def test_quantized_logits_track_float():
+    model, qmodel, variables, rng = _quantized_pair("resnet34_unet")
+    x_u8 = rng.integers(0, 255, (2, 64, 64, 5)).astype(np.uint8)
+    x = normalize_device(jnp.asarray(x_u8), src_dtype=np.uint8, **NORM)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(qmodel.apply(variables, x, train=False))
+    assert got.shape == ref.shape
+    rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert rel < 0.15, f"relative logit error {rel:.3f}"
+    assert agree > 0.85, f"argmax agreement {agree:.3f}"
+
+
+def test_quantized_inner_margin_matches_full_crop():
+    _, qmodel, variables, rng = _quantized_pair("resnet34_unet", seed=21)
+    x_u8 = rng.integers(0, 255, (1, 64, 64, 5)).astype(np.uint8)
+    x = normalize_device(jnp.asarray(x_u8), src_dtype=np.uint8, **NORM)
+    m = 16
+    full = np.asarray(qmodel.apply(variables, x, train=False))
+    inner = np.asarray(qmodel.apply(variables, x, train=False, inner_margin=m))
+    np.testing.assert_array_equal(inner, full[:, m:-m, m:-m, :])
+
+
+def test_quantize_rejections():
+    cfg = _model_config("resnet34_unet")
+    model = create_model(cfg)
+    params, stats = init_model(model, (1, 32, 32, 5), seed=0)
+    calib = [np.zeros((1, 32, 32, 5), np.uint8)]
+    qmodel = quantize_model(cfg, model, params, stats, calib)
+    assert isinstance(qmodel, QuantizedZoneModel)
+    with pytest.raises(ValueError, match="inference-only"):
+        qmodel.apply({"params": params, "batch_stats": stats},
+                     jnp.zeros((1, 32, 32, 5)), train=True)
+    # non-resnet encoder
+    cfg2 = _model_config("mobilenet_v2_unet")
+    model2 = create_model(cfg2)
+    with pytest.raises(ValueError, match="ResNet encoder"):
+        quantize_model(cfg2, model2, params, stats, calib)
+
+
+def test_detect_config_quantize_validation(tmp_path):
+    img = tmp_path / "z.tif"
+    from flairtpu.io.tiff import Affine, write_array
+
+    write_array(img, np.zeros((5, 32, 32), np.uint8),
+                transform=Affine.from_origin(0, 10, 0.2, 0.2), crs=2154)
+    w = tmp_path / "w.msgpack"
+    w.write_bytes(b"")
+    base = {
+        "output_path": str(tmp_path / "out"), "output_name": "z-ARGMAX-S",
+        "input_img_path": str(img), "channels": [1, 2, 3, 4, 5],
+        "img_pixels_detection": 32, "margin": 8, "output_type": "argmax",
+        "n_classes": 4, "model_weights": str(w),
+        "model_framework": {
+            "model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": "resnet18_unet"},
+        },
+        "norma_task": [{"norm_type": "scaling", "norm_means": [],
+                        "norm_stds": []}],
+    }
+    ok = cfgmod.validate_detect_config(dict(base, quantize="int8"))
+    assert ok["quantize"] == "int8"
+    with pytest.raises(ConfigError, match="only supported value"):
+        cfgmod.validate_detect_config(dict(base, quantize="int4"))
+    bad = dict(base, quantize="int8")
+    bad["model_framework"] = {
+        "model_provider": "SegmentationModelsPytorch",
+        "SegmentationModelsPytorch": {"encoder_decoder": "vgg16_unet"},
+    }
+    with pytest.raises(ConfigError, match="ResNet-family"):
+        cfgmod.validate_detect_config(bad)
+
+
+def test_zone_e2e_quantized_agrees_with_float(tmp_path):
+    """flair-detect with quantize: int8 — valid raster, high argmax overlap."""
+    from flairtpu.io import TiffReader
+    from flairtpu.io.tiff import Affine, write_array
+    from flairtpu.train.checkpoints import save_weights_msgpack
+    from flairtpu.zone.engine import run_pipeline
+
+    n_classes, size, margin = 4, 32, 8
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(5, 70, 90)).astype(np.uint8)
+    img_path = tmp_path / "zone_irc.tif"
+    write_array(img_path, img, transform=Affine.from_origin(0, 100, 0.2, 0.2),
+                crs=2154, blockxsize=64, blockysize=64)
+    model = create_model(_model_config("resnet18_unet", n_classes))
+    params, stats = init_model(model, (1, size, size, 5), seed=7)
+    params, stats = _randomize_bn(params, stats, seed=8)
+    weights = tmp_path / "weights.msgpack"
+    save_weights_msgpack(weights, params, stats)
+
+    def cfg(**over):
+        c = {
+            "output_path": str(tmp_path / "out"),
+            "output_name": "zone_irc-ARGMAX-S",
+            "input_img_path": str(img_path), "channels": [1, 2, 3, 4, 5],
+            "img_pixels_detection": size, "margin": margin,
+            "output_type": "argmax", "n_classes": n_classes,
+            "model_weights": str(weights),
+            "model_framework": {
+                "model_provider": "SegmentationModelsPytorch",
+                "SegmentationModelsPytorch":
+                    {"encoder_decoder": "resnet18_unet"},
+            },
+            "batch_size": 4, "use_gpu": False, "num_worker": 2,
+            "write_dataframe": False,
+            "norma_task": [{"norm_type": "scaling", "norm_means": [],
+                            "norm_stds": []}],
+        }
+        c.update(over)
+        return cfgmod.validate_detect_config(c)
+
+    run_pipeline(cfg())
+    run_pipeline(cfg(quantize="int8", output_name="zone_irc-ARGMAX-S-q"))
+    with TiffReader(Path(tmp_path, "out", "zone_irc-ARGMAX-S.tif")) as r:
+        ref = r.read([1, 2])
+    with TiffReader(Path(tmp_path, "out", "zone_irc-ARGMAX-S-q.tif")) as r:
+        got = r.read([1, 2])
+    assert got.shape == ref.shape
+    assert (got[1] > 0).all()  # every pixel written
+    agree = (got[0] == ref[0]).mean()
+    assert agree > 0.8, f"argmax agreement {agree:.3f}"
