@@ -146,6 +146,20 @@ def validate_train_config(cfg: dict) -> dict:
                 "dots_with_no_batch_dims_saveable).")
     if not (isinstance(cfg["accumulate_steps"], int) and cfg["accumulate_steps"] >= 1):
         raise ConfigError("accumulate_steps must be an integer >= 1.")
+    # parameter placement over the device mesh (no reference analog: Lightning
+    # DDP is always replicated; see flairtpu/parallel/sharding.py)
+    cfg.setdefault("param_sharding", "replicated")
+    if cfg["param_sharding"] not in ("replicated", "fsdp", "tensor"):
+        raise ConfigError(
+            "param_sharding must be one of replicated/fsdp/tensor, "
+            f"got {cfg['param_sharding']!r}.")
+    cfg.setdefault("tensor_parallel", 1)
+    if not (isinstance(cfg["tensor_parallel"], int) and cfg["tensor_parallel"] >= 1):
+        raise ConfigError("tensor_parallel must be an integer >= 1.")
+    if cfg["param_sharding"] == "tensor" and cfg["tensor_parallel"] < 2:
+        raise ConfigError(
+            "param_sharding: tensor needs tensor_parallel >= 2 "
+            "(the size of the mesh's model axis).")
     if cfg.get("batch_size") and cfg["accumulate_steps"] > 1 \
             and int(cfg["batch_size"]) % cfg["accumulate_steps"]:
         raise ConfigError(

@@ -40,6 +40,7 @@ from flairtpu.data.patches import PatchDataset, PatchLoader
 from flairtpu.models.factory import create_model, init_model
 from flairtpu.ops.confmat import confusion_matrix, per_class_jaccard, weighted_jaccard
 from flairtpu.parallel.mesh import make_mesh, replicate, shard_batch
+from flairtpu.parallel.sharding import shard_tree, tree_shardings
 from flairtpu.train import checkpoints as ckpt_lib
 from flairtpu.train.logging import MetricsLogger
 from flairtpu.train.optim import EarlyStopping, ReduceLROnPlateau, make_optimizer, set_learning_rate
@@ -74,15 +75,44 @@ class SegmentationTrainer:
 
     def __init__(self, config: dict, mesh=None, dtype=None):
         self.config = config
+        # parameter placement: 'replicated' (the reference's DDP layout),
+        # 'fsdp' (large params shard over the data axis, ZeRO-3 analog) or
+        # 'tensor' (2-D data x model mesh, Megatron analog) — see
+        # flairtpu/parallel/sharding.py
+        self.param_sharding = str(config.get("param_sharding", "replicated"))
+        if self.param_sharding not in ("replicated", "fsdp", "tensor"):
+            raise ValueError(
+                f"param_sharding {self.param_sharding!r} is not one of "
+                "replicated/fsdp/tensor")
+        tp = int(config.get("tensor_parallel", 1))
         if mesh is None:
-            # the data axis must divide the global batch; use the largest
-            # divisor of batch_size that fits the device count
             ndev = len(jax.devices())
-            bs = int(config.get("batch_size", ndev))
-            n_data = max(d for d in range(1, ndev + 1) if bs % d == 0 or d == 1)
-            while bs % n_data:
-                n_data -= 1
-            mesh = make_mesh(devices=jax.devices()[:n_data])
+            if self.param_sharding == "tensor":
+                if tp < 2 or ndev % tp:
+                    raise ValueError(
+                        f"tensor_parallel {tp} must be >= 2 and divide the "
+                        f"device count {ndev}")
+                navail = ndev // tp
+                bs = int(config.get("batch_size", navail))
+                n_data = max(d for d in range(1, navail + 1)
+                             if bs % d == 0 or d == 1)
+                while bs % n_data:
+                    n_data -= 1
+                mesh = make_mesh(("data", "model"), shape=(n_data, tp),
+                                 devices=jax.devices()[: n_data * tp])
+            else:
+                # the data axis must divide the global batch; use the largest
+                # divisor of batch_size that fits the device count
+                bs = int(config.get("batch_size", ndev))
+                n_data = max(d for d in range(1, ndev + 1)
+                             if bs % d == 0 or d == 1)
+                while bs % n_data:
+                    n_data -= 1
+                mesh = make_mesh(devices=jax.devices()[:n_data])
+        if self.param_sharding == "tensor" and "model" not in mesh.axis_names:
+            raise ValueError(
+                "param_sharding: tensor needs a mesh with a 'model' axis "
+                f"(got axes {mesh.axis_names})")
         self.mesh = mesh
         self.dtype = dtype or default_compute_dtype()
         self.num_classes = cfgmod.num_classes(config)
@@ -135,11 +165,25 @@ class SegmentationTrainer:
         if "opt_state" in state_dict and state_dict["opt_state"] is not None:
             self.opt_state = state_dict["opt_state"]
 
-    def replicate_to_mesh(self):
-        rep = replicate(self.mesh)
-        self.params = jax.device_put(self.params, rep)
-        self.batch_stats = jax.device_put(self.batch_stats, rep)
-        self.opt_state = jax.device_put(self.opt_state, rep)
+    def _shard_axis(self) -> str | None:
+        return {"replicated": None, "fsdp": "data",
+                "tensor": "model"}[self.param_sharding]
+
+    def shard_to_mesh(self):
+        """Place the train state on the mesh per ``param_sharding``."""
+        axis = self._shard_axis()
+        if axis is None:
+            rep = replicate(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+        else:
+            self.params = shard_tree(self.params, self.mesh, axis)
+            self.batch_stats = shard_tree(self.batch_stats, self.mesh, axis)
+            self.opt_state = shard_tree(self.opt_state, self.mesh, axis)
+
+    # historical name (the DDP layout was the only one): kept for callers
+    replicate_to_mesh = shard_to_mesh
 
     # -- loss --
 
@@ -207,6 +251,19 @@ class SegmentationTrainer:
 
         micro = self._micro_step
 
+        # fsdp/tensor: pin the updated state's layout to the input layout so
+        # XLA keeps the sharded buffers resident (and donation stays clean);
+        # the rule is shape-based, so computing it from the current state is
+        # exact whether or not shard_to_mesh already ran
+        constrain = None
+        axis = self._shard_axis()
+        if axis is not None:
+            constrain = (
+                tree_shardings(self.params, self.mesh, axis),
+                tree_shardings(self.batch_stats, self.mesh, axis),
+                tree_shardings(self.opt_state, self.mesh, axis),
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, batch_stats, opt_state, img, msk, mtd, rng):
             # the rng advances ON DEVICE and is returned for the next call:
@@ -253,6 +310,11 @@ class SegmentationTrainer:
 
             updates, new_opt = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if constrain is not None:
+                params = jax.lax.with_sharding_constraint(params, constrain[0])
+                new_stats = jax.lax.with_sharding_constraint(
+                    new_stats, constrain[1])
+                new_opt = jax.lax.with_sharding_constraint(new_opt, constrain[2])
             return params, new_stats, new_opt, loss, cm, next_rng
 
         self._train_step = step

@@ -41,6 +41,24 @@ from flairtpu.zone.weights import patch_weights
 DEFAULT_BUDGET = 6 << 30
 
 
+def _global_put(x, mesh, spec):
+    """Place a host array on the mesh — multi-host aware.
+
+    Single-process: a plain sharded device_put. Multi-process (one zone
+    inference spanning DCN-connected hosts): every process holds the
+    identical global value (each read the same raster), so the jax.Array is
+    assembled from per-device slices of it. The reference has no analog —
+    zone inference is strictly single-device there
+    (src/zone_detect/main.py:398-427)."""
+    from jax.sharding import NamedSharding
+
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def device_budget_bytes() -> int:
     return int(os.environ.get("FLAIRTPU_DEVICE_ZONE_BYTES", DEFAULT_BUDGET))
 
@@ -535,6 +553,19 @@ class DeviceZoneRunner:
         # all four stitch modes AND both output types shard the tile grid
         # over the 'data' axis when a multi-device mesh is given
         use_sharded = mesh is not None and n_dev > 1
+        if use_sharded:
+            from jax.sharding import PartitionSpec as P
+
+            rep, dsh = P(), P("data")
+            gput = partial(_global_put, mesh=mesh)
+            if jax.process_count() > 1:
+                # the shard_map programs close over the model state; on a
+                # multi-host mesh it must be a global (replicated) array,
+                # not a process-local buffer
+                self.params = jax.tree_util.tree_map(
+                    lambda a: gput(a, spec=rep), self.params)
+                self.batch_stats = jax.tree_util.tree_map(
+                    lambda a: gput(a, spec=rep), self.batch_stats)
         # pad the zone so every full patch window is a valid static slice:
         # origins live in [0, H+2m-S] (grid clamps the last row/col), so m on
         # each side exactly covers every S-row gather; zones smaller than a
@@ -605,8 +636,8 @@ class DeviceZoneRunner:
             if use_sharded:
                 zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 probs = np.asarray(self._run_exact_probs_sharded(
-                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
-                    jnp.asarray(inner.reshape(-1, B, 2)),
+                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
+                    gput(inner.reshape(-1, B, 2), spec=rep),
                     out_hw=(Ho, Wo)))[:H, :W]
             else:
                 fn = self._program(("exact-probs", Ho, Wo, S, m, self.batch, pad),
@@ -631,8 +662,8 @@ class DeviceZoneRunner:
             if use_sharded:
                 zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_exact_sharded(
-                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
-                    jnp.asarray(inner.reshape(-1, B, 2)), out_hw=(Ho, Wo))
+                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
+                    gput(inner.reshape(-1, B, 2), spec=rep), out_hw=(Ho, Wo))
                 packed = np.asarray(jnp.stack([cls, prob]))
             elif banded:
                 zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
@@ -652,8 +683,8 @@ class DeviceZoneRunner:
             if use_sharded:
                 zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_accumulate_sharded(
-                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
-                    jnp.asarray(vb), weighted=(method == "average_weights"),
+                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
+                    gput(vb, spec=dsh), weighted=(method == "average_weights"),
                     out_hw=(Hp, Wp))
                 packed = np.asarray(jnp.stack([cls, prob]))
             else:
@@ -671,7 +702,7 @@ class DeviceZoneRunner:
             if use_sharded:
                 zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_max_sharded(
-                    mesh, jax.device_put(zone_padded), jnp.asarray(ob),
+                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
                     out_hw=(Hp, Wp))
                 packed = np.asarray(jnp.stack([cls, prob]))
             else:

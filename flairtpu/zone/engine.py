@@ -369,7 +369,23 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
             if staged is None:
                 staged = stage_zone(config)
             engine._staged_zone = staged
-            res = runner.run(reader, grid, method, staged=staged)
+            # multi-chip: shard the tile grid over all devices (the sharded
+            # programs are agreement-tested vs single-device in
+            # tests/test_zone_multichip.py). FLAIRTPU_ZONE_SHARD: "auto"
+            # (default — shard on accelerator backends), "1" (force, incl.
+            # the virtual-CPU mesh), "0" (off). CPU defaults off so the
+            # forced-CPU test mesh keeps the bit-deterministic sequential
+            # scan for the accumulate modes.
+            mesh = None
+            shard = os.environ.get("FLAIRTPU_ZONE_SHARD", "auto")
+            if shard != "0" and jax.device_count() > 1 and (
+                    shard == "1" or jax.default_backend() != "cpu"):
+                from flairtpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(devices=jax.devices())
+                print(f"    [x] sharding tiles over {jax.device_count()} "
+                      "devices")
+            res = runner.run(reader, grid, method, staged=staged, mesh=mesh)
             writer = _make_writer(config, reader, path_out)
             if "cls" in res:
                 writer.write_band([1, 2], np.stack([res["cls"], res["prob"]]))

@@ -1,0 +1,67 @@
+"""Worker process for the multi-host (DCN) ZONE INFERENCE test.
+
+Launched twice by tests/test_multihost.py (2 processes x 4 virtual CPU
+devices = one 8-device global mesh). The reference's zone-detect is strictly
+single-process/single-device (src/zone_detect/main.py:398-427); here the
+tile grid shards over the global 'data' axis spanning both processes —
+each host reads the same raster, computes its tile share, and the stitched
+planes come back replicated so every host holds the full result.
+
+Usage: python multihost_zone_worker.py <port> <pid> <zone_tif> <out_npz>
+"""
+
+import os
+import sys
+
+port, pid, zone_path, out_npz = (sys.argv[1], int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4])
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from flairtpu.parallel.mesh import initialize_distributed, make_mesh  # noqa: E402
+
+initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+print(f"[worker {pid}] OK distributed: {jax.device_count()} global devices")
+
+from flairtpu.io import TiffReader  # noqa: E402
+from flairtpu.models.factory import create_model, init_model  # noqa: E402
+from flairtpu.zone.device_engine import DeviceZoneRunner  # noqa: E402
+from flairtpu.zone.grid import slice_grid  # noqa: E402
+
+cfg = {
+    "model_framework": {
+        "model_provider": "SegmentationModelsPytorch",
+        "SegmentationModelsPytorch": {"encoder_decoder": "resnet18_unet"},
+    },
+    "n_classes": 4, "channels": [1, 2, 3, 4, 5],
+    "img_pixels_detection": 32, "margin": 8, "output_type": "argmax",
+    "batch_size": 2,
+    "norma_task": [{"norm_type": "scaling", "norm_means": [], "norm_stds": []}],
+}
+model = create_model(cfg)
+params, stats = init_model(model, (1, 32, 32, 5))  # deterministic: same on
+# both processes and in the parent (seeded flax init)
+
+runner = DeviceZoneRunner(cfg, model, params, stats)
+mesh = make_mesh(devices=jax.devices())  # global 8-device 'data' mesh
+
+with TiffReader(zone_path) as r:
+    grid = slice_grid(r.width, r.height, 32, 8, 16, r.transform, r.crs)
+    exact = runner.run(r, grid, "exact-clipping", mesh=mesh)
+    avg = runner.run(r, grid, "average", mesh=mesh)
+print(f"[worker {pid}] OK zone inference: {exact['tiles']} tiles, "
+      f"{exact['cls'].shape} planes")
+
+np.savez(out_npz, exact_cls=exact["cls"], exact_prob=exact["prob"],
+         avg_cls=avg["cls"], avg_prob=avg["prob"])
+print(f"[worker {pid}] ALL OK")

@@ -12,6 +12,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -51,3 +53,68 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
     assert ids[0] != ids[1]
     # rank-0 gating: the checkpoint exists exactly once on disk
     assert any(out_dir.iterdir())
+
+
+def test_two_process_zone_inference(tmp_path):
+    """One zone inference spanning 2 processes (8-device global mesh): the
+    tile grid shards across hosts and the stitched planes match the
+    single-process result (exact-clipping bit-exact; average within the
+    1-quantization-step psum tolerance of test_zone_multichip.py)."""
+    from flairtpu.io import TiffReader
+    from flairtpu.io.tiff import Affine, write_array
+    from flairtpu.models.factory import create_model, init_model
+    from flairtpu.zone.device_engine import DeviceZoneRunner
+    from flairtpu.zone.grid import slice_grid
+
+    rng = np.random.default_rng(2022)
+    zone = rng.integers(0, 255, (5, 96, 112)).astype(np.uint8)
+    zone_p = tmp_path / "mhz.tif"
+    write_array(zone_p, zone, transform=Affine.from_origin(0, 100, 0.2, 0.2),
+                crs=2154)
+
+    # single-process reference (same deterministic init as the workers)
+    cfg = {"model_framework": {
+               "model_provider": "SegmentationModelsPytorch",
+               "SegmentationModelsPytorch": {"encoder_decoder": "resnet18_unet"}},
+           "n_classes": 4, "channels": [1, 2, 3, 4, 5],
+           "img_pixels_detection": 32, "margin": 8, "output_type": "argmax",
+           "batch_size": 2,
+           "norma_task": [{"norm_type": "scaling", "norm_means": [],
+                           "norm_stds": []}]}
+    model = create_model(cfg)
+    params, stats = init_model(model, (1, 32, 32, 5))
+    runner = DeviceZoneRunner(cfg, model, params, stats)
+    with TiffReader(zone_p) as r:
+        grid = slice_grid(r.width, r.height, 32, 8, 16, r.transform, r.crs)
+        ref_exact = runner.run(r, grid, "exact-clipping")
+        ref_avg = runner.run(r, grid, "average")
+
+    worker = Path(__file__).parent / "multihost_zone_worker.py"
+    port = _free_port()
+    outs = [tmp_path / f"w{pid}.npz" for pid in range(2)]
+    # each worker gets its own out path: argv layout is (port, pid, zone, out)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(pid), str(zone_p),
+             str(outs[pid])],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"[worker {pid}] ALL OK" in out, out
+
+    for pid in range(2):  # every host holds the full stitched result
+        got = np.load(outs[pid])
+        np.testing.assert_array_equal(got["exact_cls"], ref_exact["cls"])
+        np.testing.assert_array_equal(got["exact_prob"], ref_exact["prob"])
+        prob_diff = np.abs(got["avg_prob"].astype(int)
+                           - ref_avg["prob"].astype(int))
+        assert prob_diff.max() <= 1, prob_diff.max()
+        assert (got["avg_cls"] == ref_avg["cls"]).mean() > 0.999

@@ -150,6 +150,26 @@ def test_device_and_streaming_paths_agree(zone_setup, monkeypatch):
     assert prob_diff.max() <= 1
 
 
+def test_sharded_cli_path_matches_single_device(zone_setup, monkeypatch):
+    """FLAIRTPU_ZONE_SHARD=1 routes run_pipeline through the mesh-sharded
+    device programs (the multi-chip production path, auto-on for accelerator
+    backends); the written raster must match the single-device run
+    bit-exactly for exact-clipping."""
+    tmp, make_config, _, _ = zone_setup
+    outs = {}
+    for mode in ("sharded", "single"):
+        monkeypatch.setenv("FLAIRTPU_ZONE_SHARD",
+                           "1" if mode == "sharded" else "0")
+        cfg = cfgmod.validate_detect_config(make_config(
+            metrics=False, compare=False,
+            output_path=str(tmp / f"out_shard_{mode}")))
+        _run(cfg)
+        with TiffReader(Path(cfg["output_path"]) / "zone_irc-ARGMAX-S.tif") as r:
+            outs[mode] = r.read()
+    monkeypatch.delenv("FLAIRTPU_ZONE_SHARD", raising=False)
+    np.testing.assert_array_equal(outs["sharded"], outs["single"])
+
+
 def test_class_prob_output(zone_setup):
     """output_type=class_prob -> n_classes uint8 probability bands."""
     tmp, make_config, _, _ = zone_setup
