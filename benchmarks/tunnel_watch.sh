@@ -44,5 +44,8 @@ run 1800 int8_zone         python benchmarks/int8_zone.py
 run 1800 zone_scan_unroll  python benchmarks/zone_scan_unroll.py
 run 1500 train_split       python benchmarks/train_split.py
 run 3000 remat_accum       python benchmarks/remat_accum.py
+# warm the persistent XLA compile cache so the driver's end-of-round bench
+# run pays no 20-40s compiles, and capture a fresh headline line
+run 2400 bench_warm        python bench.py
 touch "$LOG_DIR/QUEUED_DONE_$STAMP"
 echo "[watch] all queued experiments done $(date -u +%FT%TZ)" | tee -a "$LOG"

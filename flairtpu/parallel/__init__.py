@@ -15,3 +15,10 @@ from flairtpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from flairtpu.parallel.sharding import (  # noqa: F401
+    leaf_spec,
+    shard_tree,
+    sharded_bytes,
+    tree_shardings,
+    tree_specs,
+)

@@ -289,6 +289,24 @@ def _make_writer(config: dict, reader: TiffReader, path_out: str) -> TiffWriter:
         overviews=config.get("output_overviews"))
 
 
+def _zone_mesh():
+    """Device mesh for sharded zone inference, or None for single-device.
+
+    FLAIRTPU_ZONE_SHARD: "auto" (default — shard on accelerator backends
+    with >1 device), "1" (force, incl. the virtual-CPU test mesh), "0"
+    (off). CPU defaults off so the forced-CPU test mesh keeps the
+    bit-deterministic sequential scan for the accumulate modes."""
+    import os
+
+    shard = os.environ.get("FLAIRTPU_ZONE_SHARD", "auto")
+    if shard != "0" and jax.device_count() > 1 and (
+            shard == "1" or jax.default_backend() != "cpu"):
+        from flairtpu.parallel.mesh import make_mesh
+
+        return make_mesh(devices=jax.devices())
+    return None
+
+
 def stage_zone(config: dict, img_path: str | None = None) -> dict:
     """Read a zone and START its H2D transfer without waiting.
 
@@ -315,7 +333,9 @@ def stage_zone(config: dict, img_path: str | None = None) -> dict:
     # (batch mode prefetches before run_single decides the path)
     from flairtpu.zone.device_engine import device_budget_bytes
 
-    if zone_np.nbytes * 4 <= device_budget_bytes():
+    if zone_np.nbytes * 4 <= device_budget_bytes() and _zone_mesh() is None:
+        # the sharded programs re-place the zone replicated over the mesh
+        # themselves — skip the single-device upload so it isn't paid twice
         staged["zone_dev"] = jax.device_put(zone_np)  # async: no wait here
     return staged
 
@@ -371,28 +391,26 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
             engine._staged_zone = staged
             # multi-chip: shard the tile grid over all devices (the sharded
             # programs are agreement-tested vs single-device in
-            # tests/test_zone_multichip.py). FLAIRTPU_ZONE_SHARD: "auto"
-            # (default — shard on accelerator backends), "1" (force, incl.
-            # the virtual-CPU mesh), "0" (off). CPU defaults off so the
-            # forced-CPU test mesh keeps the bit-deterministic sequential
-            # scan for the accumulate modes.
-            mesh = None
-            shard = os.environ.get("FLAIRTPU_ZONE_SHARD", "auto")
-            if shard != "0" and jax.device_count() > 1 and (
-                    shard == "1" or jax.default_backend() != "cpu"):
-                from flairtpu.parallel.mesh import make_mesh
-
-                mesh = make_mesh(devices=jax.devices())
+            # tests/test_zone_multichip.py); see _zone_mesh for the knob
+            mesh = _zone_mesh()
+            if mesh is not None:
                 print(f"    [x] sharding tiles over {jax.device_count()} "
                       "devices")
             res = runner.run(reader, grid, method, staged=staged, mesh=mesh)
-            writer = _make_writer(config, reader, path_out)
-            if "cls" in res:
-                writer.write_band([1, 2], np.stack([res["cls"], res["prob"]]))
-            else:
-                writer.write_band(list(range(1, config["n_classes"] + 1)),
-                                  res["probs"])
-            writer.close()
+            # multi-host: every process holds the full stitched planes
+            # (replicated program output); only process 0 writes the raster —
+            # the reference's @rank_zero_only discipline (flair/main.py:36)
+            from flairtpu.parallel.mesh import is_main_process
+
+            if is_main_process():
+                writer = _make_writer(config, reader, path_out)
+                if "cls" in res:
+                    writer.write_band([1, 2],
+                                      np.stack([res["cls"], res["prob"]]))
+                else:
+                    writer.write_band(list(range(1, config["n_classes"] + 1)),
+                                      res["probs"])
+                writer.close()
             total_ms = res["seconds"] * 1000.0
             n = max(res["tiles"], 1)
             stats = {"tiles": res["tiles"], "seconds": res["seconds"],

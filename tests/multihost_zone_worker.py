@@ -7,14 +7,16 @@ tile grid shards over the global 'data' axis spanning both processes —
 each host reads the same raster, computes its tile share, and the stitched
 planes come back replicated so every host holds the full result.
 
-Usage: python multihost_zone_worker.py <port> <pid> <zone_tif> <out_npz>
+Usage: python multihost_zone_worker.py <port> <pid> <zone_tif> <out_npz> \
+           <weights_msgpack> <pipeline_out_dir>
 """
 
 import os
 import sys
 
-port, pid, zone_path, out_npz = (sys.argv[1], int(sys.argv[2]),
-                                 sys.argv[3], sys.argv[4])
+port, pid, zone_path, out_npz, weights_path, pipe_out = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
+    sys.argv[6])
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=4").strip()
 
@@ -64,4 +66,27 @@ print(f"[worker {pid}] OK zone inference: {exact['tiles']} tiles, "
 
 np.savez(out_npz, exact_cls=exact["cls"], exact_prob=exact["prob"],
          avg_cls=avg["cls"], avg_prob=avg["prob"])
+
+# -- phase 2: the actual flair-detect pipeline spanning both hosts --------
+# FLAIRTPU_ZONE_SHARD=1 forces the mesh-sharded programs on the CPU
+# backend; run_pipeline's raster write is rank-0-gated (engine.py).
+os.environ["FLAIRTPU_ZONE_SHARD"] = "1"
+
+from flairtpu import config as cfgmod  # noqa: E402
+from flairtpu.zone.engine import run_pipeline  # noqa: E402
+
+detect_cfg = cfgmod.validate_detect_config({
+    "output_path": pipe_out, "output_name": "mhz-ARGMAX-S",
+    "input_img_path": zone_path, "channels": [1, 2, 3, 4, 5],
+    "img_pixels_detection": 32, "margin": 8, "output_type": "argmax",
+    "n_classes": 4, "model_weights": weights_path,
+    "model_framework": cfg["model_framework"],
+    "batch_size": 2, "use_gpu": False, "num_worker": 1,
+    "norma_task": [{"norm_type": "scaling", "norm_means": [],
+                    "norm_stds": []}],
+    "classes": {i: [1, f"c{i}"] for i in range(1, 5)},
+})
+run_pipeline(detect_cfg)
+wrote = os.path.exists(os.path.join(pipe_out, "mhz-ARGMAX-S.tif"))
+print(f"[worker {pid}] OK run_pipeline (rank0_wrote={wrote})")
 print(f"[worker {pid}] ALL OK")

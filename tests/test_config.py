@@ -179,3 +179,8 @@ def test_shipped_configs_parse():
     assert sweep["strategies"]["tiling"]["size_range"] == [128, 256, 512, 1024, 2048]
     assert set(sweep["strategies"]["stitching"]["methods"]) == {
         "average", "average_weights", "max", "exact-clipping"}
+    # the pod-scale example fully validates (its paths are the toy CSVs)
+    pod = yaml.safe_load((cfg_dir / "flair-1-config-tpu-pod.yaml").read_text())
+    pod = cfgmod.validate_train_config(pod)
+    assert pod["param_sharding"] == "fsdp"
+    assert pod["remat"] and pod["accumulate_steps"] == 2

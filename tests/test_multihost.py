@@ -63,6 +63,7 @@ def test_two_process_zone_inference(tmp_path):
     from flairtpu.io import TiffReader
     from flairtpu.io.tiff import Affine, write_array
     from flairtpu.models.factory import create_model, init_model
+    from flairtpu.train.checkpoints import save_weights_msgpack
     from flairtpu.zone.device_engine import DeviceZoneRunner
     from flairtpu.zone.grid import slice_grid
 
@@ -83,6 +84,8 @@ def test_two_process_zone_inference(tmp_path):
                            "norm_stds": []}]}
     model = create_model(cfg)
     params, stats = init_model(model, (1, 32, 32, 5))
+    weights_p = tmp_path / "mhz_weights.msgpack"
+    save_weights_msgpack(weights_p, params, stats)
     runner = DeviceZoneRunner(cfg, model, params, stats)
     with TiffReader(zone_p) as r:
         grid = slice_grid(r.width, r.height, 32, 8, 16, r.transform, r.crs)
@@ -92,11 +95,11 @@ def test_two_process_zone_inference(tmp_path):
     worker = Path(__file__).parent / "multihost_zone_worker.py"
     port = _free_port()
     outs = [tmp_path / f"w{pid}.npz" for pid in range(2)]
-    # each worker gets its own out path: argv layout is (port, pid, zone, out)
+    pipe_out = tmp_path / "pipe_out"
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(port), str(pid), str(zone_p),
-             str(outs[pid])],
+             str(outs[pid]), str(weights_p), str(pipe_out)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(2)
     ]
@@ -118,3 +121,11 @@ def test_two_process_zone_inference(tmp_path):
                            - ref_avg["prob"].astype(int))
         assert prob_diff.max() <= 1, prob_diff.max()
         assert (got["avg_cls"] == ref_avg["cls"]).mean() > 0.999
+
+    # phase 2: the full flair-detect pipeline across both processes wrote
+    # the raster exactly once (rank-0 gating), matching the reference run
+    tifs = sorted(p.name for p in pipe_out.glob("*.tif"))
+    assert tifs == ["mhz-ARGMAX-S.tif"], tifs
+    with TiffReader(pipe_out / "mhz-ARGMAX-S.tif") as r:
+        np.testing.assert_array_equal(r.read(1), ref_exact["cls"])
+        np.testing.assert_array_equal(r.read(2), ref_exact["prob"])
