@@ -126,6 +126,16 @@ def test_fsdp_and_tensor_match_replicated_one_step(rng):
     total_tp, per_dev_tp = sharded_bytes(p_tp)
     assert per_dev_tp < 0.75 * total_tp  # 2-way model axis
 
+    # eval (train=False, running BN stats) under sharded params: same loss
+    eval_losses = []
+    for t in (ref, fsdp, tp):
+        img, msk, mtd = t._put(batch)
+        loss, cm = t.eval_step()(t.params, t.batch_stats, img, msk, mtd)
+        eval_losses.append(float(loss))
+        assert np.asarray(cm).sum() == batch["msk"].size
+    assert eval_losses[1] == pytest.approx(eval_losses[0], rel=1e-5)
+    assert eval_losses[2] == pytest.approx(eval_losses[0], rel=1e-5)
+
 
 def test_fsdp_second_step_reuses_compiled_donated_buffers(rng):
     batch = {"img": rng.integers(0, 255, size=(8, 32, 32, 3)).astype(np.uint8),
