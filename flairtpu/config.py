@@ -160,6 +160,15 @@ def validate_train_config(cfg: dict) -> dict:
         raise ConfigError(
             "param_sharding: tensor needs tensor_parallel >= 2 "
             "(the size of the mesh's model axis).")
+    # spatial partitioning: image height sharded over a 'space' mesh axis
+    # (flairtpu/parallel/mesh.py batch_sharding)
+    cfg.setdefault("spatial_parallel", 1)
+    if not (isinstance(cfg["spatial_parallel"], int) and cfg["spatial_parallel"] >= 1):
+        raise ConfigError("spatial_parallel must be an integer >= 1.")
+    if cfg["spatial_parallel"] > 1 and cfg["param_sharding"] == "tensor":
+        raise ConfigError(
+            "spatial_parallel > 1 cannot combine with param_sharding: tensor "
+            "(use replicated or fsdp).")
     if cfg.get("batch_size") and cfg["accumulate_steps"] > 1 \
             and int(cfg["batch_size"]) % cfg["accumulate_steps"]:
         raise ConfigError(

@@ -7,7 +7,10 @@ One mesh axis family covers this framework's parallelism needs:
   psum XLA inserts for the replicated-param/sharded-batch layout.
 
 ``make_mesh`` also accepts a 2-D (data, model) shape for the optional
-tensor-sharded layouts used by larger model families.
+tensor-sharded layouts used by larger model families, and a (data, space)
+shape for spatial partitioning — image height sharded over 'space' so XLA's
+SPMD partitioner tiles convs/pools with halo exchanges (``batch_sharding``
+below; the vision analog of sequence parallelism).
 """
 
 from __future__ import annotations
@@ -64,8 +67,19 @@ def make_mesh(axis_names: tuple[str, ...] = ("data",),
     return Mesh(arr, axis_names)
 
 
-def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard dim 0 over the data axis, replicate the rest."""
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data",
+                   spatial_axis: str | None = None) -> NamedSharding:
+    """Shard dim 0 over the data axis, replicate the rest.
+
+    With ``spatial_axis`` set, rank >= 3 arrays (NHWC images, (B, H, W)
+    masks) additionally shard dim 1 — the image height — over that mesh
+    axis: XLA's SPMD partitioner then tiles every conv/pool spatially and
+    inserts the halo exchanges itself, so a patch too large for one chip's
+    activation memory trains across the mesh (spatial partitioning, the
+    vision analog of sequence parallelism).
+    """
+    if spatial_axis is not None and ndim >= 3:
+        return NamedSharding(mesh, P(axis, spatial_axis, *([None] * (ndim - 2))))
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
@@ -73,7 +87,8 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Mapping[str, Any], mesh: Mesh, axis: str = "data") -> dict:
+def shard_batch(batch: Mapping[str, Any], mesh: Mesh, axis: str = "data",
+                spatial_axis: str | None = None) -> dict:
     """Device-put a host batch with dim-0 sharding (lists pass through).
 
     Single-process: a plain sharded device_put. Multi-process (DCN): each
@@ -85,7 +100,13 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh, axis: str = "data") -> dic
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            sharding = batch_sharding(mesh, v.ndim, axis)
+            if spatial_axis is not None and v.ndim >= 3:
+                n_sp = int(mesh.shape[spatial_axis])
+                if v.shape[1] % n_sp:
+                    raise ValueError(
+                        f"batch {k!r} height {v.shape[1]} is not divisible by "
+                        f"the {n_sp}-way {spatial_axis!r} mesh axis")
+            sharding = batch_sharding(mesh, v.ndim, axis, spatial_axis)
             if multiprocess:
                 out[k] = jax.make_array_from_process_local_data(sharding, v)
             else:

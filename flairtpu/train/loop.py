@@ -85,9 +85,35 @@ class SegmentationTrainer:
                 f"param_sharding {self.param_sharding!r} is not one of "
                 "replicated/fsdp/tensor")
         tp = int(config.get("tensor_parallel", 1))
+        # spatial partitioning (the vision analog of sequence parallelism):
+        # shard the image HEIGHT over a 'space' mesh axis so activations of
+        # large patches (1024^2/2048^2) split across chips; XLA's SPMD
+        # partitioner inserts conv halo exchanges over ICI. Params stay
+        # replicated (or fsdp-sharded over 'data') — composing with the
+        # Megatron 'tensor' layout would triple the collective families on a
+        # 24M-param model for no memory win, so it is rejected.
+        self.spatial_parallel = int(config.get("spatial_parallel", 1))
+        if self.spatial_parallel > 1 and self.param_sharding == "tensor":
+            raise ValueError(
+                "spatial_parallel > 1 cannot combine with param_sharding: "
+                "tensor (use replicated or fsdp)")
         if mesh is None:
             ndev = len(jax.devices())
-            if self.param_sharding == "tensor":
+            if self.spatial_parallel > 1:
+                sp = self.spatial_parallel
+                if ndev % sp:
+                    raise ValueError(
+                        f"spatial_parallel {sp} must divide the device "
+                        f"count {ndev}")
+                navail = ndev // sp
+                bs = int(config.get("batch_size", navail))
+                n_data = max(d for d in range(1, navail + 1)
+                             if bs % d == 0 or d == 1)
+                while bs % n_data:
+                    n_data -= 1
+                mesh = make_mesh(("data", "space"), shape=(n_data, sp),
+                                 devices=jax.devices()[: n_data * sp])
+            elif self.param_sharding == "tensor":
                 if tp < 2 or ndev % tp:
                     raise ValueError(
                         f"tensor_parallel {tp} must be >= 2 and divide the "
@@ -112,6 +138,10 @@ class SegmentationTrainer:
         if self.param_sharding == "tensor" and "model" not in mesh.axis_names:
             raise ValueError(
                 "param_sharding: tensor needs a mesh with a 'model' axis "
+                f"(got axes {mesh.axis_names})")
+        if self.spatial_parallel > 1 and "space" not in mesh.axis_names:
+            raise ValueError(
+                "spatial_parallel > 1 needs a mesh with a 'space' axis "
                 f"(got axes {mesh.axis_names})")
         self.mesh = mesh
         self.dtype = dtype or default_compute_dtype()
@@ -355,7 +385,8 @@ class SegmentationTrainer:
     # -- batch plumbing --
 
     def _put(self, batch: dict) -> tuple:
-        b = shard_batch(batch, self.mesh)
+        spatial = "space" if self.spatial_parallel > 1 else None
+        b = shard_batch(batch, self.mesh, spatial_axis=spatial)
         mtd = b.get("mtd")
         if self.use_metadata and mtd is None:
             raise ValueError("use_metadata=True but the batch has no 'mtd'")

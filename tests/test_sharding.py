@@ -153,6 +153,88 @@ def test_fsdp_second_step_reuses_compiled_donated_buffers(rng):
     assert cm.sum() == batch["msk"].size
 
 
+# --------------------------------------------------------- spatial parallel
+
+def test_spatial_matches_replicated_one_step(rng):
+    """H-sharded activations (XLA conv halo exchange) = replicated numerics.
+
+    The vision analog of sequence parallelism: batch over 'data', image
+    height over 'space' (flairtpu/parallel/mesh.py batch_sharding). Params
+    stay replicated; only reduction order may differ.
+    """
+    batch = {"img": rng.integers(0, 255, size=(8, 32, 32, 3)).astype(np.uint8),
+             "msk": rng.integers(0, 4, size=(8, 32, 32)).astype(np.int32)}
+
+    ref = SegmentationTrainer(_config(), mesh=make_mesh())
+    _, _, loss_ref, cm_ref = _one_step(ref, batch)
+
+    smesh = make_mesh(("data", "space"), shape=(4, 2))
+    sp = SegmentationTrainer(
+        _config(spatial_parallel=2), mesh=smesh)
+    img, msk, mtd = sp._put(batch)
+    # the input really is height-sharded: each shard holds H/2 rows
+    assert img.sharding.spec == P("data", "space", None, None)
+    assert img.addressable_shards[0].data.shape == (2, 16, 32, 3)
+    assert msk.sharding.spec == P("data", "space", None)
+    _, _, loss_sp, cm_sp = _one_step(sp, batch)
+
+    assert loss_sp == pytest.approx(loss_ref, rel=1e-4)
+    np.testing.assert_array_equal(cm_sp, cm_ref)
+
+    # composes with fsdp (params shard over 'data', activations over 'space')
+    fs = SegmentationTrainer(
+        _config(spatial_parallel=2, param_sharding="fsdp"),
+        mesh=make_mesh(("data", "space"), shape=(4, 2)))
+    p_fs, _, loss_fs, cm_fs = _one_step(fs, batch)
+    assert loss_fs == pytest.approx(loss_ref, rel=1e-4)
+    np.testing.assert_array_equal(cm_fs, cm_ref)
+    total, per_dev = sharded_bytes(p_fs)
+    assert per_dev < 0.5 * total
+
+
+def test_spatial_eval_and_predict_steps(rng):
+    batch = {"img": rng.integers(0, 255, size=(8, 32, 32, 3)).astype(np.uint8),
+             "msk": rng.integers(0, 4, size=(8, 32, 32)).astype(np.int32)}
+    ref = SegmentationTrainer(_config(), mesh=make_mesh())
+    sp = SegmentationTrainer(
+        _config(spatial_parallel=2),
+        mesh=make_mesh(("data", "space"), shape=(4, 2)))
+    outs = []
+    for t in (ref, sp):
+        t.shard_to_mesh()
+        img, msk, mtd = t._put(batch)
+        loss, cm = t.eval_step()(t.params, t.batch_stats, img, msk, mtd)
+        pred = t.predict_step()(t.params, t.batch_stats, img, mtd)
+        outs.append((float(loss), np.asarray(cm), np.asarray(pred)))
+    assert outs[1][0] == pytest.approx(outs[0][0], rel=1e-5)
+    np.testing.assert_array_equal(outs[1][1], outs[0][1])
+    np.testing.assert_array_equal(outs[1][2], outs[0][2])
+
+
+def test_spatial_rejects_indivisible_height(rng):
+    sp = SegmentationTrainer(
+        _config(spatial_parallel=2),
+        mesh=make_mesh(("data", "space"), shape=(4, 2)))
+    batch = {"img": rng.integers(0, 255, size=(8, 31, 32, 3)).astype(np.uint8),
+             "msk": rng.integers(0, 4, size=(8, 31, 32)).astype(np.int32)}
+    with pytest.raises(ValueError, match="height 31"):
+        sp._put(batch)
+
+
+def test_trainer_autobuilds_2d_mesh_for_spatial():
+    t = SegmentationTrainer(_config(spatial_parallel=2))
+    assert t.mesh.axis_names == ("data", "space")
+    assert t.mesh.shape["space"] == 2 and t.mesh.shape["data"] == 4
+
+    with pytest.raises(ValueError, match="space"):
+        SegmentationTrainer(
+            _config(spatial_parallel=2), mesh=make_mesh())
+    with pytest.raises(ValueError, match="tensor"):
+        SegmentationTrainer(
+            _config(param_sharding="tensor", tensor_parallel=2,
+                    spatial_parallel=2))
+
+
 # ------------------------------------------------------------- config knobs
 
 def test_config_validates_param_sharding():
@@ -164,6 +246,14 @@ def test_config_validates_param_sharding():
         return cfg
 
     assert validate_train_config(base())["param_sharding"] == "replicated"
+    assert validate_train_config(base())["spatial_parallel"] == 1
+    assert validate_train_config(
+        base(spatial_parallel=4))["spatial_parallel"] == 4
+    with pytest.raises(ConfigError, match="spatial_parallel"):
+        validate_train_config(base(spatial_parallel=0))
+    with pytest.raises(ConfigError, match="spatial_parallel"):
+        validate_train_config(base(
+            param_sharding="tensor", tensor_parallel=2, spatial_parallel=2))
     assert validate_train_config(
         base(param_sharding="fsdp"))["tensor_parallel"] == 1
     with pytest.raises(ConfigError, match="param_sharding"):
