@@ -116,6 +116,25 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh, axis: str = "data",
     return out
 
 
+def global_put(x, mesh: Mesh, spec: P):
+    """Place a host array on the mesh with ``spec`` — multi-host aware.
+
+    Single-process: a plain sharded device_put. Multi-process (one program
+    spanning DCN-connected hosts): every process holds the identical global
+    value (e.g. each read the same raster), so the global jax.Array is
+    assembled from per-device slices of it via make_array_from_callback.
+    Leaves that are ALREADY process-spanning global arrays pass through
+    untouched — re-placing them would pay a full D2H fetch per call.
+    """
+    sh = NamedSharding(mesh, spec)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x  # already global (placed by a previous call)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0,
                     fill=0) -> tuple[np.ndarray, int]:
     """Pad dim to a multiple (static shapes for jit; returns (arr, n_valid))."""

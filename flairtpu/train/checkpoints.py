@@ -27,7 +27,24 @@ from flairtpu.models import convert
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Fetch a state tree to host numpy — sharded/multi-host aware.
+
+    ``np.asarray`` cannot fetch a jax.Array that spans non-addressable
+    devices (parameters sharded over a process-spanning axis under
+    ``param_sharding: fsdp|tensor``); those leaves are all-gathered across
+    processes first. The gather is a collective: every process reaches
+    ``_save`` on every epoch (fit() is SPMD), so the calls line up.
+    """
+    def fetch(x):
+        # fully-replicated leaves fetch locally even on a multi-process mesh
+        if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(fetch, tree)
 
 
 class CheckpointManager:

@@ -51,6 +51,13 @@ def default_compute_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+def _largest_divisor(n: int, limit: int) -> int:
+    """Largest d in [1, limit] dividing n (1 when none) — sizes the 'data'
+    mesh axis so the global batch splits evenly."""
+    return max((d for d in range(1, max(limit, 1) + 1) if n % d == 0),
+               default=1)
+
+
 # metric names the epoch loop actually logs — the only valid ckpt_monitor
 # values (the reference's Lightning ModelCheckpoint raises when its monitor
 # never shows up in logged metrics; we fail fast at fit() entry instead)
@@ -106,11 +113,8 @@ class SegmentationTrainer:
                         f"spatial_parallel {sp} must divide the device "
                         f"count {ndev}")
                 navail = ndev // sp
-                bs = int(config.get("batch_size", navail))
-                n_data = max(d for d in range(1, navail + 1)
-                             if bs % d == 0 or d == 1)
-                while bs % n_data:
-                    n_data -= 1
+                n_data = _largest_divisor(
+                    int(config.get("batch_size", navail)), navail)
                 mesh = make_mesh(("data", "space"), shape=(n_data, sp),
                                  devices=jax.devices()[: n_data * sp])
             elif self.param_sharding == "tensor":
@@ -119,30 +123,36 @@ class SegmentationTrainer:
                         f"tensor_parallel {tp} must be >= 2 and divide the "
                         f"device count {ndev}")
                 navail = ndev // tp
-                bs = int(config.get("batch_size", navail))
-                n_data = max(d for d in range(1, navail + 1)
-                             if bs % d == 0 or d == 1)
-                while bs % n_data:
-                    n_data -= 1
+                n_data = _largest_divisor(
+                    int(config.get("batch_size", navail)), navail)
                 mesh = make_mesh(("data", "model"), shape=(n_data, tp),
                                  devices=jax.devices()[: n_data * tp])
             else:
                 # the data axis must divide the global batch; use the largest
                 # divisor of batch_size that fits the device count
-                bs = int(config.get("batch_size", ndev))
-                n_data = max(d for d in range(1, ndev + 1)
-                             if bs % d == 0 or d == 1)
-                while bs % n_data:
-                    n_data -= 1
+                n_data = _largest_divisor(
+                    int(config.get("batch_size", ndev)), ndev)
                 mesh = make_mesh(devices=jax.devices()[:n_data])
-        if self.param_sharding == "tensor" and "model" not in mesh.axis_names:
-            raise ValueError(
-                "param_sharding: tensor needs a mesh with a 'model' axis "
-                f"(got axes {mesh.axis_names})")
-        if self.spatial_parallel > 1 and "space" not in mesh.axis_names:
-            raise ValueError(
-                "spatial_parallel > 1 needs a mesh with a 'space' axis "
-                f"(got axes {mesh.axis_names})")
+        if self.param_sharding == "tensor":
+            if "model" not in mesh.axis_names:
+                raise ValueError(
+                    "param_sharding: tensor needs a mesh with a 'model' axis "
+                    f"(got axes {mesh.axis_names})")
+            if tp > 1 and int(mesh.shape["model"]) != tp:
+                # a silently-ignored degree would diverge config from layout
+                raise ValueError(
+                    f"tensor_parallel {tp} does not match the mesh's "
+                    f"'model' axis size {int(mesh.shape['model'])}")
+        if self.spatial_parallel > 1:
+            if "space" not in mesh.axis_names:
+                raise ValueError(
+                    "spatial_parallel > 1 needs a mesh with a 'space' axis "
+                    f"(got axes {mesh.axis_names})")
+            if int(mesh.shape["space"]) != self.spatial_parallel:
+                raise ValueError(
+                    f"spatial_parallel {self.spatial_parallel} does not "
+                    "match the mesh's 'space' axis size "
+                    f"{int(mesh.shape['space'])}")
         self.mesh = mesh
         self.dtype = dtype or default_compute_dtype()
         self.num_classes = cfgmod.num_classes(config)

@@ -77,8 +77,13 @@ def batch_metrics_pipeline(config: dict) -> None:
             })
             run_pipeline(config, engine=engine)
 
-    metrics_file = batch_metrics(config, truth_dpt)
-    out = out_json.with_suffix(".json")
-    with open(out, "w") as f:
-        json.dump(metrics_file, f)
-    print(f"Metrics saved to {out}")
+    # aggregation reads back the prediction rasters rank 0 wrote
+    # (run_single barriers before returning); main process only
+    from flairtpu.parallel.mesh import is_main_process
+
+    if is_main_process():
+        metrics_file = batch_metrics(config, truth_dpt)
+        out = out_json.with_suffix(".json")
+        with open(out, "w") as f:
+            json.dump(metrics_file, f)
+        print(f"Metrics saved to {out}")

@@ -41,7 +41,12 @@ def run_compare(config: dict, engine) -> None:
             config, engine, stride, stitch, identifier="_" + method)
         method_times[method] = stats["patch_times_ms"]
 
-        if compute_metrics:
+        # metrics read the raster rank 0 just wrote (run_single barriers
+        # before returning); only the main process computes/writes them —
+        # non-main hosts may not even see the file on a non-shared fs
+        from flairtpu.parallel.mesh import is_main_process
+
+        if compute_metrics and is_main_process():
             method_metrics = []
             with TiffReader(path_out) as r:
                 for tile in grid.tiles:

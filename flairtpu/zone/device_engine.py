@@ -41,22 +41,10 @@ from flairtpu.zone.weights import patch_weights
 DEFAULT_BUDGET = 6 << 30
 
 
-def _global_put(x, mesh, spec):
-    """Place a host array on the mesh — multi-host aware.
-
-    Single-process: a plain sharded device_put. Multi-process (one zone
-    inference spanning DCN-connected hosts): every process holds the
-    identical global value (each read the same raster), so the jax.Array is
-    assembled from per-device slices of it. The reference has no analog —
-    zone inference is strictly single-device there
-    (src/zone_detect/main.py:398-427)."""
-    from jax.sharding import NamedSharding
-
-    x = np.asarray(x)
-    sh = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
-        return jax.device_put(x, sh)
-    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+# mesh-aware placement lives with the other multiprocess helpers; the
+# reference has no analog — zone inference is strictly single-device there
+# (src/zone_detect/main.py:398-427)
+from flairtpu.parallel.mesh import global_put as _global_put
 
 
 def device_budget_bytes() -> int:
@@ -616,6 +604,23 @@ class DeviceZoneRunner:
                 zone_dev = jax.block_until_ready(jax.device_put(zone_np))
             timings["h2d_seconds"] = time.perf_counter() - th
 
+        zone_rep = None
+        if use_sharded:
+            # replicated padded-zone upload, cached on the staged dict so
+            # sweep combinations with the same padding reuse the transfer —
+            # mirrors the single-device zone_dev staging in stage_zone
+            if staged is not None and staged.get("_rep_pad") == pad \
+                    and staged.get("_rep_zone") is not None:
+                zone_rep = staged["_rep_zone"]
+            else:
+                th = time.perf_counter()
+                zone_rep = gput(np.pad(zone_np, (pad[0], pad[1], (0, 0))),
+                                spec=rep)
+                timings["h2d_seconds"] = time.perf_counter() - th
+                if staged is not None:
+                    staged["_rep_pad"] = pad
+                    staged["_rep_zone"] = zone_rep
+
         def _timed_compute(fn, *args):
             tc = time.perf_counter()
             out = jax.block_until_ready(fn(*args))
@@ -634,9 +639,8 @@ class DeviceZoneRunner:
             inner[:, 0] = np.minimum(inner[:, 0], Ho - s)
             inner[:, 1] = np.minimum(inner[:, 1], Wo - s)
             if use_sharded:
-                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 probs = np.asarray(self._run_exact_probs_sharded(
-                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
+                    mesh, zone_rep, gput(ob, spec=dsh),
                     gput(inner.reshape(-1, B, 2), spec=rep),
                     out_hw=(Ho, Wo)))[:H, :W]
             else:
@@ -660,9 +664,8 @@ class DeviceZoneRunner:
             # (measured 43 vs 63 patches/s), so it is opt-in for hardware with
             # proper DMA overlap
             if use_sharded:
-                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_exact_sharded(
-                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
+                    mesh, zone_rep, gput(ob, spec=dsh),
                     gput(inner.reshape(-1, B, 2), spec=rep), out_hw=(Ho, Wo))
                 packed = np.asarray(jnp.stack([cls, prob]))
             elif banded:
@@ -681,9 +684,8 @@ class DeviceZoneRunner:
         elif method in ("average", "average_weights"):
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
             if use_sharded:
-                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_accumulate_sharded(
-                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
+                    mesh, zone_rep, gput(ob, spec=dsh),
                     gput(vb, spec=dsh), weighted=(method == "average_weights"),
                     out_hw=(Hp, Wp))
                 packed = np.asarray(jnp.stack([cls, prob]))
@@ -700,9 +702,8 @@ class DeviceZoneRunner:
         elif method == "max":
             Hp, Wp = H + pad_lo + pad_hi_r, W + pad_lo + pad_hi_c
             if use_sharded:
-                zone_padded = np.pad(zone_np, (pad[0], pad[1], (0, 0)))
                 cls, prob = self._run_max_sharded(
-                    mesh, gput(zone_padded, spec=rep), gput(ob, spec=dsh),
+                    mesh, zone_rep, gput(ob, spec=dsh),
                     out_hw=(Hp, Wp))
                 packed = np.asarray(jnp.stack([cls, prob]))
             else:

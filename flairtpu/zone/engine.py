@@ -422,10 +422,28 @@ def run_single(config: dict, engine: ZoneEngine, stride: int, method: str,
                 if k in res:
                     stats[k] = res[k]
         else:
-            writer = _make_writer(config, reader, path_out)
-            stitcher = make_stitcher(method, writer, grid, config)
-            stats = engine.run(reader, grid, stitcher)
-            writer.close()
+            # the streaming loop is host-driven and single-process — on a
+            # multi-host run only rank 0 computes and writes (the others
+            # would race it on the same output path)
+            from flairtpu.parallel.mesh import is_main_process
+
+            if is_main_process():
+                writer = _make_writer(config, reader, path_out)
+                stitcher = make_stitcher(method, writer, grid, config)
+                stats = engine.run(reader, grid, stitcher)
+                writer.close()
+            else:
+                stats = {"tiles": len(grid), "seconds": 0.0,
+                         "patches_per_sec": 0.0,
+                         "patch_times_ms": [0.0] * len(grid)}
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # rank 0 owns the raster write; everyone else must not return (and
+        # downstream callers must not read path_out) before the file is
+        # closed — the cross-process analog of the reference's
+        # @rank_zero_only + implicit DDP barrier (flair/main.py:36)
+        multihost_utils.sync_global_devices("flairtpu-zone-raster-write")
     print(f"    [X] done writing to {Path(path_out).name} raster file "
           f"({stats['tiles']} tiles, {stats['patches_per_sec']:.1f} patches/s).\n")
     return path_out, stats, grid

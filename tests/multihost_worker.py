@@ -109,4 +109,28 @@ leaf = np.asarray(jax.tree_util.tree_leaves(restored["params"])[0])
 orig = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
 np.testing.assert_array_equal(leaf, orig)
 print(f"[worker {pid}] OK checkpoint round-trip: {manager.best_path}")
+
+# fsdp layout: params sharded over the PROCESS-SPANNING 'data' axis are not
+# fully addressable — _to_host must all-gather them before the Orbax save
+# (round-3 review finding: np.asarray alone raises on such leaves)
+from flairtpu.parallel.sharding import shard_tree  # noqa: E402
+
+host_before = jax.tree.map(np.asarray, trainer.params)
+sharded_params = shard_tree(trainer.params, mesh, "data")
+big = [l for l in jax.tree_util.tree_leaves(sharded_params)
+       if hasattr(l, "is_fully_addressable") and not l.is_fully_addressable]
+assert big, "expected process-spanning sharded leaves"
+manager2 = ckpt_lib.CheckpointManager(os.path.join(out_dir, "fsdp"),
+                                      model_name="mh-fsdp", monitor="val_loss",
+                                      mode="min", save_last=False)
+state2 = {"params": sharded_params, "batch_stats": trainer.batch_stats,
+          "opt_state": trainer.opt_state, "epoch": 0, "val_loss": loss,
+          "val_miou": 0.0, "train_loss": loss, "train_miou": 0.0}
+manager2.on_epoch_end(0, {"val_loss": loss, "val_miou": 0.0,
+                          "train_loss": loss, "train_miou": 0.0}, state2)
+restored2 = manager2.restore(manager2.best_path, state2)
+for a, b in zip(jax.tree_util.tree_leaves(restored2["params"]),
+                jax.tree_util.tree_leaves(host_before)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+print(f"[worker {pid}] OK fsdp-sharded checkpoint save/restore")
 print(f"[worker {pid}] ALL OK")

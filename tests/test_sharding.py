@@ -272,3 +272,11 @@ def test_trainer_autobuilds_2d_mesh_for_tensor_mode():
         SegmentationTrainer(
             _config(param_sharding="tensor", tensor_parallel=2),
             mesh=make_mesh())  # 1-D mesh lacks the model axis
+    with pytest.raises(ValueError, match="does not match"):
+        SegmentationTrainer(  # configured degree != mesh axis size
+            _config(param_sharding="tensor", tensor_parallel=4),
+            mesh=make_mesh(("data", "model"), shape=(4, 2)))
+    with pytest.raises(ValueError, match="does not match"):
+        SegmentationTrainer(
+            _config(spatial_parallel=4),
+            mesh=make_mesh(("data", "space"), shape=(4, 2)))

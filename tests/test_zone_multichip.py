@@ -69,6 +69,25 @@ def test_sharded_overlap_modes_match_single_device(zone_runner, method):
     assert cls_agree > 0.999, f"{method}: class agreement {cls_agree:.5f}"
 
 
+def test_sharded_staged_zone_upload_is_cached(zone_runner):
+    """The replicated padded-zone upload is paid once per staged zone, not
+    once per run — sweep combinations with the same padding reuse it."""
+    p, runner, mesh = zone_runner
+    with TiffReader(p) as r:
+        grid = slice_grid(r.width, r.height, 32, 8, 16, r.transform, r.crs)
+        zone_np = np.ascontiguousarray(
+            np.moveaxis(r.read(runner.config["channels"]), 0, -1))
+        staged = {"path": str(p), "zone_np": zone_np, "read_seconds": 0.0}
+        first = runner.run(r, grid, "exact-clipping", staged=staged, mesh=mesh)
+        rep = staged.get("_rep_zone")
+        assert rep is not None
+        second = runner.run(r, grid, "max", staged=staged, mesh=mesh)
+        assert staged["_rep_zone"] is rep  # same padding -> no re-upload
+        unstaged = runner.run(r, grid, "exact-clipping", mesh=mesh)
+    np.testing.assert_array_equal(first["cls"], unstaged["cls"])
+    assert second["tiles"] == len(grid)
+
+
 def test_sharded_class_prob_matches_single_device(zone_runner):
     """class_prob (K-plane payload, forced exact clipping) also shards —
     round-2 verdict hole: zone/device_engine.py used to run it single-device."""
