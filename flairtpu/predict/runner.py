@@ -79,8 +79,15 @@ def predict(config: dict, dict_test: dict, out_dir: str | Path,
             mtd = batch.get("mtd")
             if mtd is None:
                 mtd = np.zeros((img.shape[0], 45), np.float32)
-            dev = step(trainer.params, trainer.batch_stats,
-                       jnp.asarray(img), jnp.asarray(mtd))
+            # shard the batch over the trainer's mesh (the reference's
+            # Lightning predict is DDP multi-device too, tasks.py:133-142);
+            # without this the replicated params make every device compute
+            # the WHOLE batch redundantly
+            if bs % int(trainer.mesh.shape["data"]) == 0:
+                img_d, _, mtd_d = trainer._put({"img": img, "mtd": mtd})
+            else:  # user-supplied mesh that doesn't divide the batch
+                img_d, mtd_d = jnp.asarray(img), jnp.asarray(mtd)
+            dev = step(trainer.params, trainer.batch_stats, img_d, mtd_d)
             if pending is not None:
                 flush(pending)
             pending = (dev, n, batch["id"])

@@ -153,6 +153,26 @@ def test_fsdp_second_step_reuses_compiled_donated_buffers(rng):
     assert cm.sum() == batch["msk"].size
 
 
+def test_loss_invariant_across_device_counts(rng):
+    """SURVEY §7 hard part 5: same seed + same global batch -> same step
+    numerics whatever the device count (the rng splits per step, not per
+    device, and augmentation keys derive per-sample)."""
+    batch = {"img": rng.integers(0, 255, size=(8, 32, 32, 3)).astype(np.uint8),
+             "msk": rng.integers(0, 4, size=(8, 32, 32)).astype(np.int32)}
+    cfg = _config(use_augmentation=True)
+    losses, cms = [], []
+    for ndev in (8, 2, 1):
+        t = SegmentationTrainer(
+            cfg, mesh=make_mesh(devices=jax.devices()[:ndev]))
+        _, _, loss, cm = _one_step(t, batch)
+        losses.append(loss)
+        cms.append(cm)
+    assert losses[1] == pytest.approx(losses[0], rel=1e-4)
+    assert losses[2] == pytest.approx(losses[0], rel=1e-4)
+    np.testing.assert_array_equal(cms[1], cms[0])
+    np.testing.assert_array_equal(cms[2], cms[0])
+
+
 # --------------------------------------------------------- spatial parallel
 
 def test_spatial_matches_replicated_one_step(rng):
