@@ -39,7 +39,8 @@ from flairtpu.data.normalize import normalize_device
 from flairtpu.data.patches import PatchDataset, PatchLoader
 from flairtpu.models.factory import create_model, init_model
 from flairtpu.ops.confmat import confusion_matrix, per_class_jaccard, weighted_jaccard
-from flairtpu.parallel.mesh import make_mesh, replicate, shard_batch
+from flairtpu.parallel.mesh import (
+    is_main_process, make_mesh, replicate, shard_batch)
 from flairtpu.parallel.sharding import shard_tree, tree_shardings
 from flairtpu.train import checkpoints as ckpt_lib
 from flairtpu.train.logging import MetricsLogger
@@ -507,7 +508,11 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
     stopper = EarlyStopping(
         monitor_mode=config.get("ckpt_monitor_mode", "min"),
         patience=int(config.get("ckpt_earlystopping_patience", 30)))
-    logger = MetricsLogger(out_dir)
+    # shared-file writers are rank-0 only (reference @rank_zero_only +
+    # Lightning's rank-gated TensorBoardLogger, tasks.py:73-76): on a
+    # multi-host run every process would otherwise append duplicate JSONL
+    # records and fight over one TensorBoard event file
+    logger = MetricsLogger(out_dir) if is_main_process() else None
     class_names = cfgmod.class_names(config)
     class_w = cfgmod.class_weights(config)
 
@@ -560,7 +565,8 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         for name, w, iou in zip(class_names, class_w, per_class):
             if w != 0:
                 scalars[f"val_iou_{name}"] = float(iou)
-        logger.log(epoch, scalars)
+        if logger is not None:
+            logger.log(epoch, scalars)
         progress(
             f"    epoch {epoch + 1}/{num_epochs}  train_loss={tm['loss']:.4f} "
             f"val_loss={vm['val_loss']:.4f} val_miou={vm['val_miou']:.4f} "
@@ -584,8 +590,10 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
     elapsed = time.time() - t_start
     progress(f"    [x] training time: "
              f"{int(elapsed // 3600):02d}:{int(elapsed % 3600 // 60):02d}:{int(elapsed % 60):02d}")
-    ckpt_lib.write_history(out_dir, history)
-    logger.close()
+    if is_main_process():
+        ckpt_lib.write_history(out_dir, history)
+    if logger is not None:
+        logger.close()
 
     # reload best weights (reference flair/main.py:175)
     if manager.best_path is not None:
