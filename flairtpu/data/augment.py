@@ -33,11 +33,11 @@ def _rot90(x: jax.Array, k: jax.Array) -> jax.Array:
 
 def _augment_one(img: jax.Array, msk: jax.Array, key: jax.Array):
     """img (H, W, C), msk (H, W). Square patches (rot90 keeps shapes static)."""
-    k_v, k_h, k_r = jax.random.split(key, 3)
+    k_v, k_h, k_r, k_k = jax.random.split(key, 4)
     do_v = jax.random.bernoulli(k_v)
     do_h = jax.random.bernoulli(k_h)
     do_r = jax.random.bernoulli(k_r)
-    k = jnp.where(do_r, jax.random.randint(k_r, (), 0, 4), 0)
+    k = jnp.where(do_r, jax.random.randint(k_k, (), 0, 4), 0)
 
     img = jnp.where(do_v, jnp.flip(img, axis=0), img)
     msk = jnp.where(do_v, jnp.flip(msk, axis=0), msk)

@@ -55,6 +55,52 @@ def test_augment_batch_is_d4_and_label_consistent(rng):
             np.sort(img[b].reshape(-1, 2), axis=0))
 
 
+def test_augment_d4_distribution_matches_albumentations(rng):
+    """Chi-square: the composed D4 element follows the reference distribution.
+
+    Reference pipeline (ref tasks_utils.py:37-41): VerticalFlip(p=.5) ->
+    HorizontalFlip(p=.5) -> RandomRotate90(p=.5, k~U{0..3} when applied).
+    Under the pre-fix key reuse (bernoulli and randint drawn from the same
+    key) the rotation amount was coupled to whether rotation fired, which
+    visibly skews this distribution.
+    """
+    from flairtpu.data.augment import augment_batch
+
+    # Marker image: all 8 D4 images are distinct.
+    base = np.arange(16, dtype=np.float32).reshape(4, 4)
+    d4 = {}  # canonical bytes -> element index
+    for k in range(4):
+        d4[np.rot90(base, k).tobytes()] = len(d4)
+        d4[np.rot90(base[::-1], k).tobytes()] = len(d4)
+    assert len(d4) == 8
+
+    # Expected element probabilities: enumerate the 16 (do_v, do_h, k) triples.
+    expected = np.zeros(8)
+    for do_v in (0, 1):
+        for do_h in (0, 1):
+            for k in range(4):
+                p = 0.25 * (0.625 if k == 0 else 0.125)
+                out = base
+                if do_v:
+                    out = out[::-1]
+                if do_h:
+                    out = out[:, ::-1]
+                out = np.rot90(out, k)
+                expected[d4[np.ascontiguousarray(out).tobytes()]] += p
+    assert expected.sum() == pytest.approx(1.0)
+
+    n = 8192
+    img = jnp.broadcast_to(jnp.asarray(base)[None, :, :, None], (n, 4, 4, 1))
+    msk = jnp.zeros((n, 4, 4), jnp.int32)
+    out, _ = augment_batch(img, msk, jax.random.PRNGKey(7))
+    out = np.asarray(out)[..., 0]
+    counts = np.zeros(8)
+    for b in range(n):
+        counts[d4[np.ascontiguousarray(out[b]).tobytes()]] += 1
+    chi2 = float(((counts - n * expected) ** 2 / (n * expected)).sum())
+    assert chi2 < 24.3, (chi2, counts / n, expected)  # chi2(7 dof, p=.999)
+
+
 def test_augment_batch_deterministic(rng):
     from flairtpu.data.augment import augment_batch
 
