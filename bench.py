@@ -48,6 +48,37 @@ REF_PATCHES_PER_SEC = ref_patches_per_sec()
 ZONE = 4096
 SIZE, MARGIN = 512, 128
 N_CLASSES = 19
+
+# opt-in model override (VERDICT r3 #6): BENCH_MODEL=<smp encoder_decoder>
+# (e.g. segformer... use an org/model path for the HF provider, e.g.
+# BENCH_MODEL=openmmlab/upernet-swin-tiny). The analytic FLOPs models below
+# describe only the flagship; other models get XLA cost-analysis FLOPs
+# (lowered on the host CPU backend — free, nothing crosses the tunnel).
+BENCH_MODEL = os.environ.get("BENCH_MODEL", "resnet34_unet")
+FLAGSHIP = BENCH_MODEL == "resnet34_unet"
+
+
+def bench_model_framework() -> dict:
+    if "/" in BENCH_MODEL:
+        return {"model_provider": "HuggingFace",
+                "HuggingFace": {"org_model": BENCH_MODEL}}
+    return {"model_provider": "SegmentationModelsPytorch",
+            "SegmentationModelsPytorch": {"encoder_decoder": BENCH_MODEL}}
+
+
+def xla_forward_flops(model, params, batch_stats) -> float:
+    """Cost-analysis FLOPs of one full 512^2 forward (non-flagship models)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fwd(p, s, x):
+        return model.apply({"params": p, "batch_stats": s}, x, train=False)
+
+    x = jnp.zeros((1, SIZE, SIZE, 5), jnp.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        ca = jax.jit(fwd).lower(params, batch_stats, x).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca["flops"])
 # measured on-device compute with the inner-decode path: batch 32 -> 748,
 # 64 -> 856, 128 -> 1037 patches/s/chip; end-to-end is tunnel-transfer-bound
 # either way, so batch 128 is the default for both bench modes
@@ -238,10 +269,7 @@ def measure_train_pps() -> float:
     # with batch as a wide matmul dimension
     bs = BATCH
     config = {
-        "model_framework": {
-            "model_provider": "SegmentationModelsPytorch",
-            "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_unet"},
-        },
+        "model_framework": bench_model_framework(),
         "use_metadata": False, "use_augmentation": True, "use_weights": True,
         "channels": [1, 2, 3, 4, 5],
         "norm_type": "scaling", "norm_means": [], "norm_stds": [],
@@ -280,8 +308,13 @@ def measure_train_pps() -> float:
 
     chain(1)  # compile
     short, long = 4, 12
+    # best-of-N chained-diff repeats (default 3): the tunnel's dispatch/fetch
+    # weather varies between captures (round-3 sessions measured the same
+    # step at 203.7 and 295.9 p/s); the min per-step time reflects the
+    # program, not the weather
+    repeats = int(os.environ.get("BENCH_TRAIN_REPEATS", "3"))
     per_step = min((chain(long) - chain(short)) / (long - short)
-                   for _ in range(2))
+                   for _ in range(repeats))
     return bs / per_step
 
 
@@ -315,10 +348,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
 
     config = {
-        "model_framework": {
-            "model_provider": "SegmentationModelsPytorch",
-            "SegmentationModelsPytorch": {"encoder_decoder": "resnet34_unet"},
-        },
+        "model_framework": bench_model_framework(),
         "channels": [1, 2, 3, 4, 5],
         "img_pixels_detection": SIZE,
         "margin": MARGIN,
@@ -361,9 +391,18 @@ def main() -> None:
     stats = best
     out_path.unlink(missing_ok=True)
     pps = stats["patches_per_sec"]
+    # flagship: analytic FLOPs (locked to XLA by tests/test_bench_model.py);
+    # BENCH_MODEL overrides: XLA cost-analysis FLOPs of the full forward
+    if FLAGSHIP:
+        fwd_flops, trn_flops = forward_flops_per_patch(), train_flops_per_patch()
+        model_tag = ""
+    else:
+        fwd_flops = xla_forward_flops(model, params, batch_stats)
+        trn_flops = 3.0 * fwd_flops
+        model_tag = f", model={BENCH_MODEL}"
     line = {
         "metric": f"zone-detect 512^2 5-ch patches/sec/chip ({backend}, "
-                  f"{stats['tiles']} tiles incl. raster write)",
+                  f"{stats['tiles']} tiles incl. raster write{model_tag})",
         "value": round(pps, 2),
         "unit": "patches/sec",
         "vs_baseline": round(pps / REF_PATCHES_PER_SEC, 2),
@@ -378,7 +417,7 @@ def main() -> None:
         line["compute_patches_per_sec"] = round(compute_pps, 2)
         # single-chip efficiency stated against the chip's own peak, not an
         # estimated GPU denominator (VERDICT r2): model FLOPs/s over peak
-        line["model_flops_per_patch"] = round(forward_flops_per_patch())
+        line["model_flops_per_patch"] = round(fwd_flops)
         # RTT-free device compute (chained-diff, CLAUDE.md methodology):
         # the single-dispatch compute_seconds above additionally carries one
         # tunnel dispatch round trip; mfu is stated from the chained number
@@ -390,8 +429,7 @@ def main() -> None:
             line["compute_chain_patches_per_sec"] = round(chain_pps, 2)
         if backend == "tpu":
             line["mfu"] = round(
-                forward_flops_per_patch() * (chain_pps or compute_pps)
-                / PEAK_FLOPS, 4)
+                fwd_flops * (chain_pps or compute_pps) / PEAK_FLOPS, 4)
     _stash_partial(line)
     # train-step throughput, captured by the driver every round (previously
     # only reachable via BENCH_MODE=train, which the driver never runs)
@@ -401,9 +439,8 @@ def main() -> None:
         if backend == "tpu":
             # chip efficiency of the full train step (fwd+bwd conv FLOPs over
             # the bf16 peak), stated like the zone `mfu`
-            line["train_flops_per_patch"] = round(train_flops_per_patch())
-            line["train_mfu"] = round(
-                train_flops_per_patch() * train_pps / PEAK_FLOPS, 4)
+            line["train_flops_per_patch"] = round(trn_flops)
+            line["train_mfu"] = round(trn_flops * train_pps / PEAK_FLOPS, 4)
     print(json.dumps(line))
 
 
