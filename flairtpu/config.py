@@ -174,6 +174,27 @@ def validate_train_config(cfg: dict) -> dict:
         raise ConfigError(
             f"batch_size {cfg['batch_size']} is not divisible by "
             f"accumulate_steps {cfg['accumulate_steps']}.")
+    # preemption-safe step-level autosave (0 = off; see train/loop.py and
+    # train/checkpoints.py StepAutosaver — no reference analog)
+    cfg.setdefault("autosave_every_steps", 0)
+    if not (isinstance(cfg["autosave_every_steps"], int)
+            and cfg["autosave_every_steps"] >= 0):
+        raise ConfigError("autosave_every_steps must be an integer >= 0.")
+    cfg.setdefault("autosave_resume", True)
+    # pretrained-encoder init from a bare ImageNet classifier state dict
+    # (the explicit analog of smp's encoder_weights='imagenet' default, ref
+    # src/flair/model.py:35-41; see flairtpu/models/pretrained.py)
+    cfg.setdefault("init_encoder_weights", "")
+    if cfg["init_encoder_weights"]:
+        if cfg["model_framework"]["model_provider"] != "SegmentationModelsPytorch":
+            raise ConfigError(
+                "init_encoder_weights applies to the SegmentationModelsPytorch "
+                "provider only (HuggingFace models: use "
+                "init_weights_only_from_ckpt with a full pretrained checkpoint).")
+        if not Path(str(cfg["init_encoder_weights"])).exists():
+            raise ConfigError(
+                f"init_encoder_weights file not found: "
+                f"{cfg['init_encoder_weights']!r}")
     cfg.setdefault("seed", 2022)
     cfg.setdefault("georeferencing_output", True)
     cfg.setdefault("accelerator", "tpu")

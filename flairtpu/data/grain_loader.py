@@ -55,6 +55,18 @@ class GrainPatchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        e = self._epoch
+        self._epoch += 1
+        return self._iter_epoch(e, 0)
+
+    def epoch_iter(self, epoch: int, start_batch: int = 0):
+        """Deterministic iterator for ``epoch`` skipping the first
+        ``start_batch`` batches (exact mid-epoch resume; the skipped
+        batches are still decoded by the workers — a one-off resume cost).
+        Does not advance the loader's own epoch counter."""
+        return self._iter_epoch(epoch, start_batch)
+
+    def _iter_epoch(self, epoch: int, start_batch: int):
         import grain.python as gp
 
         sampler = gp.IndexSampler(
@@ -62,16 +74,17 @@ class GrainPatchLoader:
             shard_options=gp.NoSharding(),
             shuffle=self.shuffle,
             num_epochs=1,
-            seed=self.seed + self._epoch,
+            seed=self.seed + epoch,
         )
-        self._epoch += 1
         loader = gp.DataLoader(
             data_source=_GrainSource(self.dataset),
             sampler=sampler,
             operations=[gp.Batch(self.batch_size, drop_remainder=self.drop_last)],
             worker_count=self.num_workers,
         )
-        for batch in loader:
+        for i, batch in enumerate(loader):
+            if i < start_batch:
+                continue
             out = {k: np.asarray(v) for k, v in batch.items() if k != "index"}
             out["id"] = [self.dataset.images[int(i)] for i in batch["index"]]
             yield out

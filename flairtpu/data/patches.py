@@ -99,10 +99,11 @@ class PatchLoader:
             n = -(-n // self.shard[1])
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _index_batches(self) -> list[np.ndarray]:
+    def _index_batches(self, epoch: int | None = None) -> list[np.ndarray]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
+            e = self._epoch if epoch is None else epoch
+            rng = np.random.default_rng(self.seed + e)
             rng.shuffle(idx)
         idx = self._shard_indices(idx)
         batches = []
@@ -127,6 +128,16 @@ class PatchLoader:
     def __iter__(self):
         batches = self._index_batches()
         self._epoch += 1
+        return self._iter_prefetched(batches)
+
+    def epoch_iter(self, epoch: int, start_batch: int = 0):
+        """Deterministic iterator for ``epoch`` (seed+epoch shuffle) skipping
+        the first ``start_batch`` batches — exact mid-epoch resume after a
+        preemption (train/loop.py autosave). Does not advance the loader's
+        own epoch counter."""
+        return self._iter_prefetched(self._index_batches(epoch)[start_batch:])
+
+    def _iter_prefetched(self, batches: list):
         if not batches:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

@@ -24,6 +24,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from flairtpu.models import convert
+from flairtpu.parallel.mesh import is_main_process
 
 
 def _to_host(tree):
@@ -97,7 +98,37 @@ class CheckpointManager:
         return is_best
 
     def restore(self, path: str | Path, like: dict) -> dict:
-        return self._ckpt.restore(Path(path).resolve(), target=_to_host(like))
+        """Restore the keys named in ``like`` (extra saved keys are ignored).
+
+        The restore target is assembled per top-level checkpoint key:
+        ``like``'s subtree when it has one (preserving pytree structure —
+        optax states round-trip as namedtuples, not dicts), a scalar
+        placeholder otherwise. A checkpoint written under a per-class
+        ``ckpt_monitor`` carries one more scalar (``val_iou_<name>``) than
+        the caller's template, and Orbax's fully-target-matched restore
+        rejects that structure mismatch.
+        """
+        path = Path(path).resolve()
+        try:
+            saved = self._ckpt.metadata(path).item_metadata.tree
+        except Exception:  # older orbax layouts: assume the template's keys
+            saved = dict(like)
+
+        def placeholder(md):
+            # zeros matching the checkpoint's own metadata, for saved keys
+            # the caller didn't ask for (their values are discarded below)
+            if isinstance(md, dict):
+                return {k: placeholder(v) for k, v in md.items()}
+            if isinstance(md, (list, tuple)):
+                return [placeholder(v) for v in md]
+            shape = getattr(md, "shape", None) or ()
+            dtype = getattr(md, "dtype", None) or np.float64
+            return np.zeros(shape, dtype)
+
+        target = {k: like[k] if k in like else placeholder(v)
+                  for k, v in saved.items()}
+        raw = self._ckpt.restore(path, target=_to_host(target))
+        return {k: raw.get(k, v) for k, v in like.items()}
 
     def restore_best(self, like: dict) -> dict:
         if self.best_path is None:
@@ -107,6 +138,60 @@ class CheckpointManager:
         if self.best_path is None:
             raise FileNotFoundError(f"no best checkpoint under {self.out_dir}")
         return self.restore(self.best_path, like)
+
+
+class StepAutosaver:
+    """Preemption-safe STEP-level autosave + exact mid-epoch resume.
+
+    TPU pods preempt; the reference resumes only at epoch granularity
+    (ref tasks.py:96-101), losing up to an epoch of work. Every
+    ``every_steps`` train steps the full mid-epoch state checkpoints:
+    train state + the device-chained rng + the epoch's running loss/confmat
+    accumulators (arrays, via Orbax) and the host-side controller states
+    (epoch, step, plateau/early-stop/best-checkpoint/history — JSON).
+
+    Crash safety: arrays commit to a FRESH Orbax slot first; ``host.json``
+    then flips to the new slot atomically (temp file + rename); older slots
+    are reaped last. A kill at any point leaves the previously-referenced
+    snapshot complete and consistent.
+    """
+
+    def __init__(self, out_dir: str | Path, every_steps: int):
+        self.dir = Path(out_dir) / "autosave"
+        self.every = int(every_steps)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def due(self, step_in_epoch: int) -> bool:
+        return self.every > 0 and (step_in_epoch + 1) % self.every == 0
+
+    def save(self, arrays: dict, host: dict) -> None:
+        self.dir.mkdir(parents=True, exist_ok=True)
+        prev = sorted(self.dir.glob("arrays-*"))
+        n = max((int(p.name.split("-")[1]) for p in prev), default=0) + 1
+        slot = self.dir / f"arrays-{n:06d}"
+        self._ckpt.save(slot.resolve(), _to_host(arrays))
+        self._ckpt.wait_until_finished()
+        if is_main_process():
+            tmp = self.dir / "host.json.tmp"
+            tmp.write_text(json.dumps({"slot": slot.name, **host}))
+            tmp.replace(self.dir / "host.json")
+        for p in prev:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def restore(self, like_arrays: dict) -> tuple[dict, dict] | None:
+        """Latest (arrays, host) snapshot, or None when no autosave exists."""
+        meta = self.dir / "host.json"
+        if not meta.exists():
+            return None
+        host = json.loads(meta.read_text())
+        raw = self._ckpt.restore((self.dir / host["slot"]).resolve(),
+                                 target=_to_host(like_arrays))
+        return raw, host
+
+    def clear(self) -> None:
+        """Remove the autosave (training finished normally)."""
+        if is_main_process():
+            shutil.rmtree(self.dir, ignore_errors=True)
 
 
 def save_weights_msgpack(path: str | Path, params, batch_stats) -> None:

@@ -59,11 +59,31 @@ def _largest_divisor(n: int, limit: int) -> int:
                default=1)
 
 
-# metric names the epoch loop actually logs — the only valid ckpt_monitor
-# values (the reference's Lightning ModelCheckpoint raises when its monitor
-# never shows up in logged metrics; we fail fast at fit() entry instead)
+# metric names the epoch loop always logs; per-class `val_iou_<name>` scalars
+# (for weight!=0 classes) are also logged each epoch and are equally valid
+# monitors — the reference's Lightning ModelCheckpoint can monitor any logged
+# metric (ref tasks.py:47-56). We fail fast at fit() entry instead of raising
+# mid-training like Lightning's MisconfigurationException.
 _MONITORABLE_METRICS = frozenset(
     {"val_loss", "val_miou", "train_loss", "train_miou"})
+
+
+def _validate_monitor(monitor: str, config: dict) -> None:
+    if monitor in _MONITORABLE_METRICS:
+        return
+    if monitor.startswith("val_iou_"):
+        name = monitor[len("val_iou_"):]
+        logged = [n for n, w in zip(cfgmod.class_names(config),
+                                    cfgmod.class_weights(config)) if w != 0]
+        if name in logged:
+            return
+        raise ValueError(
+            f"ckpt_monitor {monitor!r}: {name!r} is not a weight!=0 class "
+            f"(per-class IoU is only logged for {sorted(logged)})")
+    raise ValueError(
+        f"ckpt_monitor {monitor!r} is not a logged metric; valid monitors: "
+        f"{sorted(_MONITORABLE_METRICS)} or val_iou_<class-name> for any "
+        "weight!=0 class")
 
 
 @dataclass
@@ -456,13 +476,7 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
             "tasks.py:14-30 aborts for the same reason); use batch_size >= 2.")
 
     monitor = config.get("ckpt_monitor", "val_loss")
-    if monitor not in _MONITORABLE_METRICS:
-        # Lightning raises MisconfigurationException when ModelCheckpoint's
-        # monitor never appears in the logged metrics (tasks.py:47-56); fail
-        # fast here instead of silently early-stopping on val_loss.
-        raise ValueError(
-            f"ckpt_monitor {monitor!r} is not a logged metric; "
-            f"valid monitors: {sorted(_MONITORABLE_METRICS)}")
+    _validate_monitor(monitor, config)
 
     trainer = trainer or SegmentationTrainer(config)
     channels = config["channels"]
@@ -489,6 +503,32 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         save_last=bool(config.get("ckpt_save_also_last", True)),
         weights_only=bool(config.get("ckpt_weights_only", False)))
 
+    # pretrained-encoder init (the reference's implicit imagenet init:
+    # smp.create_model defaults encoder_weights='imagenet', ref
+    # src/flair/model.py:35-41); applied BEFORE any checkpoint init/resume,
+    # exactly as smp initializes at model construction and Lightning's
+    # ckpt loading then overwrites
+    enc_weights = config.get("init_encoder_weights") or ""
+    if enc_weights:
+        from flairtpu.models.pretrained import init_encoder_from_classifier
+        from flairtpu.models.registry import check_smp
+
+        mf = config["model_framework"]
+        if mf["model_provider"] != "SegmentationModelsPytorch":
+            raise ValueError(
+                "init_encoder_weights applies to the SegmentationModelsPytorch "
+                "provider only; for HuggingFace models load a full pretrained "
+                "checkpoint via init_weights_only_from_ckpt (class-count "
+                "surgery included)")
+        encoder_name, _ = check_smp(
+            mf["SegmentationModelsPytorch"]["encoder_decoder"])
+        variables = init_encoder_from_classifier(
+            enc_weights, encoder_name, len(config["channels"]),
+            {"params": trainer.params, "batch_stats": trainer.batch_stats})
+        trainer.load_state(variables)
+        progress(f"    [x] encoder initialized from classifier weights "
+                 f"{enc_weights}")
+
     start_epoch = 0
     if train_tasks.get("init_weights_only_from_ckpt") and ckpt_path:
         variables = ckpt_lib.init_weights_with_surgery(
@@ -502,6 +542,34 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         trainer.load_state(restored)
         start_epoch = int(restored.get("epoch", -1)) + 1
         progress(f"    [x] resumed from {ckpt_path} at epoch {start_epoch}")
+
+    # preemption-safe step-level autosave (no reference analog: Lightning
+    # resumes at epoch granularity only, ref tasks.py:96-101 — on a
+    # preemptible TPU pod that loses up to an epoch). When an autosave
+    # snapshot exists, it wins over the epoch-level resume above: it is
+    # strictly newer (written during a later in-flight epoch).
+    autosaver = ckpt_lib.StepAutosaver(
+        out_dir, int(config.get("autosave_every_steps", 0) or 0))
+    autosave_host = None
+    autosave_rng = None
+    acc_loss, acc_n, acc_cm = 0.0, 0, None
+    start_batch = 0
+    if autosaver.every > 0 and bool(config.get("autosave_resume", True)):
+        like = dict(trainer.state().as_dict(),
+                    rng=np.zeros(np.shape(jax.random.PRNGKey(0)), np.uint32),
+                    cm_sum=np.zeros((trainer.num_classes,) * 2, np.int64))
+        snap = autosaver.restore(like)
+        if snap is not None:
+            arrays, autosave_host = snap
+            autosave_rng = np.asarray(arrays.pop("rng"))
+            acc_cm = np.asarray(arrays.pop("cm_sum"), np.int64)
+            trainer.load_state(arrays)
+            start_epoch = int(autosave_host["epoch"])
+            start_batch = int(autosave_host["step"])
+            acc_loss = float(autosave_host["loss_sum"])
+            acc_n = int(autosave_host["n_batches"])
+            progress(f"    [x] autosave resume: epoch {start_epoch + 1} "
+                     f"step {start_batch}")
 
     trainer.replicate_to_mesh()
     plateau = ReduceLROnPlateau(lr=float(config.get("learning_rate", 0.02)))
@@ -522,6 +590,18 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
     # device-to-device through the jitted step with no per-step dispatch
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
     history: list[dict] = []
+    if autosave_host is not None:  # mid-epoch state: rng + controller states
+        rng = jnp.asarray(autosave_rng)
+        for k, v in (autosave_host.get("plateau") or {}).items():
+            setattr(plateau, k, v)
+        trainer.opt_state = set_learning_rate(trainer.opt_state, plateau.lr)
+        for k, v in (autosave_host.get("stopper") or {}).items():
+            setattr(stopper, k, v)
+        mstate = autosave_host.get("manager") or {}
+        manager.best_metric = mstate.get("best_metric")
+        if mstate.get("best_path"):
+            manager.best_path = out_dir / mstate["best_path"]
+        history[:] = autosave_host.get("history") or []
     t_start = time.time()
 
     def _progress_iter(iterable, desc):
@@ -537,7 +617,11 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
     num_epochs = int(config.get("num_epochs", 1))
     for epoch in range(start_epoch, num_epochs):
         losses, cms = [], []
-        for batch in _progress_iter(train_loader, f"epoch {epoch + 1}/{num_epochs}"):
+        sb = start_batch if epoch == start_epoch else 0
+        epoch_batches = train_loader.epoch_iter(epoch, sb)
+        for bi, batch in enumerate(
+                _progress_iter(epoch_batches,
+                               f"epoch {epoch + 1}/{num_epochs}"), start=sb):
             img, msk, mtd = trainer._put(batch)
             (trainer.params, trainer.batch_stats, trainer.opt_state, loss,
              bcm, rng) = step(
@@ -545,10 +629,42 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
                 img, msk, mtd, rng)
             losses.append(loss)
             cms.append(bcm)
+            if autosaver.due(bi):
+                # drain the held device outputs into the running host
+                # accumulators (this D2H is the autosave's cost — amortized
+                # over `every` steps), then snapshot everything
+                dl, dc = _drain_epoch(losses, cms)
+                acc_loss += dl
+                acc_n += len(losses)
+                acc_cm = dc if acc_cm is None else acc_cm + dc
+                losses, cms = [], []
+                autosaver.save(
+                    arrays=dict(trainer.state().as_dict(), rng=rng,
+                                cm_sum=acc_cm),
+                    host={
+                        "epoch": epoch, "step": bi + 1,
+                        "loss_sum": acc_loss, "n_batches": acc_n,
+                        "plateau": {
+                            "lr": plateau.lr, "best": plateau.best,
+                            "num_bad_epochs": plateau.num_bad_epochs,
+                            "cooldown_counter": plateau.cooldown_counter},
+                        "stopper": {"best": stopper.best, "wait": stopper.wait,
+                                    "stopped": stopper.stopped},
+                        "manager": {
+                            "best_metric": manager.best_metric,
+                            "best_path": (manager.best_path.name
+                                          if manager.best_path else None)},
+                        "history": history,
+                    })
         loss_sum, cm = _drain_epoch(losses, cms)
+        loss_sum += acc_loss
+        n_batches = acc_n + len(losses)
         if cm.size == 0:
             cm = np.zeros((trainer.num_classes, trainer.num_classes), np.int64)
-        tm = _epoch_metrics(loss_sum, len(losses), cm)
+        if acc_cm is not None:
+            cm = cm + acc_cm
+        acc_loss, acc_n, acc_cm = 0.0, 0, None  # consumed by this epoch
+        tm = _epoch_metrics(loss_sum, n_batches, cm)
 
         if epoch == start_epoch:  # profile the first epoch when enabled
             from flairtpu.utils.profiling import maybe_trace
@@ -574,6 +690,8 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
 
         metrics = {"val_loss": vm["val_loss"], "val_miou": vm["val_miou"],
                    "train_loss": tm["loss"], "train_miou": tm["miou"]}
+        if monitor not in metrics:  # per-class val_iou_<name> monitor
+            metrics[monitor] = scalars[monitor]
         manager.on_epoch_end(epoch, metrics, trainer.state().as_dict())
         history.append({"epoch": epoch, **metrics})
 
@@ -587,6 +705,7 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
             progress(f"    [x] early stopping at epoch {epoch + 1}")
             break
 
+    autosaver.clear()  # finished normally: later runs must not resume this
     elapsed = time.time() - t_start
     progress(f"    [x] training time: "
              f"{int(elapsed // 3600):02d}:{int(elapsed % 3600 // 60):02d}:{int(elapsed % 60):02d}")

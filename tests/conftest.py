@@ -34,7 +34,7 @@ SLOW_MODULES = {
     "test_xception", "test_mit", "test_dpn", "test_inception",
     "test_timm_en", "test_resnest", "test_res2net", "test_timm_mnv3",
     "test_sknet", "test_regnet", "test_gernet", "test_resnext_wsl",
-    "test_mobileone", "test_sharding",
+    "test_mobileone", "test_sharding", "test_pretrained_init",
 }
 
 

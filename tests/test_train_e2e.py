@@ -116,6 +116,58 @@ def test_plateau_monitors_val_loss_not_ckpt_monitor(tmp_path, monkeypatch):
     assert all(lr == pytest.approx(0.1) for lr in lrs), lrs
 
 
+def test_per_class_iou_monitor_drives_ckpt_and_early_stop(tmp_path, monkeypatch):
+    """ckpt_monitor=val_iou_<class> checkpoints + early-stops on that class's
+    IoU (the reference's ModelCheckpoint monitors any logged metric,
+    ref tasks.py:47-56; per-class IoUs are logged as val_iou_<name>)."""
+    from flairtpu.train import loop as loop_mod
+
+    cfg = cfgmod.validate_train_config(toy_train_config(
+        tmp_path, num_epochs=10, ckpt_monitor="val_iou_class_0",
+        ckpt_monitor_mode="max", ckpt_earlystopping_patience=2))
+    train_csv = Path(cfg["paths"]["train_csv"]).read_text().splitlines()[:2]
+    Path(cfg["paths"]["train_csv"]).write_text("\n".join(train_csv) + "\n")
+    dict_train = gather_paths(cfg, "train")
+    dict_val = gather_paths(cfg, "val")
+
+    calls = {"n": 0}
+
+    def scripted_evaluate(trainer, loader):
+        calls["n"] += 1
+        # class-0 IoU: 0.2 on epoch 1, 0.8 from epoch 2 on (plateau)
+        tp0 = 2 if calls["n"] == 1 else 8
+        cm = np.diag([tp0, 5, 5, 5]).astype(np.int64)
+        cm[0, 1] = 10 - tp0  # false negatives for class 0
+        return {"val_loss": 1.0, "val_miou": 0.5, "confmat": cm}
+
+    monkeypatch.setattr(loop_mod, "evaluate", scripted_evaluate)
+    out_dir = tmp_path / "out" / "perclass"
+    _, info = loop_mod.fit(cfg, dict_train, dict_val, out_dir)
+    # best at epoch 2 (0-indexed 1), early stop after patience=2 flat epochs
+    assert len(info["history"]) == 4
+    best = Path(info["best_path"])
+    assert best.name == "ckpt-01-0.80_toy-model"
+    # the saved checkpoint carries the extra monitor scalar; tolerant restore
+    from flairtpu.train import checkpoints as ckpt_lib
+    manager = ckpt_lib.CheckpointManager(out_dir, model_name="toy-model")
+    restored = manager.restore(best, {"epoch": 0, "val_loss": 0.0})
+    assert int(restored["epoch"]) == 1
+
+
+def test_per_class_monitor_validation(tmp_path):
+    """weight-0 classes and unknown names are rejected at fit() entry."""
+    from flairtpu.train.loop import _validate_monitor
+
+    cfg = cfgmod.validate_train_config(toy_train_config(tmp_path))
+    _validate_monitor("val_iou_class_0", cfg)  # weight-1: ok
+    with pytest.raises(ValueError, match="weight!=0"):
+        _validate_monitor("val_iou_class_3", cfg)  # weight-0 class
+    with pytest.raises(ValueError, match="weight!=0"):
+        _validate_monitor("val_iou_nope", cfg)
+    with pytest.raises(ValueError, match="not a logged metric"):
+        _validate_monitor("val_lass", cfg)
+
+
 def test_init_weights_with_class_surgery(toy_run, tmp_path):
     """Weights-only init from a ckpt with a different class count."""
     config, _, info, out_dir, _ = toy_run
