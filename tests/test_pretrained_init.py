@@ -110,7 +110,46 @@ def _cases():
                  ("_bn1.running_var", (1280,)),
                  ("_fc.weight", (10, 1280)), ("_fc.bias", (10,))),
         ),
+        "se_resnet50": (
+            "se_resnet50",
+            lambda: _tsn().SENetEncoderTorch("se_resnet50", 3),
+            lambda: _tsn().SENetUnet("se_resnet50", 5, classes=6),
+            head(("last_linear.weight", (10, 2048)),
+                 ("last_linear.bias", (10,))),
+        ),
+        "xception": (
+            "xception",
+            lambda: _tpm().XceptionEncoderTorch(3),
+            lambda: _tpm().XceptionUnet(5, classes=6),
+            head(("fc.weight", (10, 2048)), ("fc.bias", (10,))),
+        ),
+        "timm-efficientnet-b0": (
+            "timm-efficientnet-b0",
+            lambda: _ttn().TimmEfficientNetEncoderTorch(
+                "timm-efficientnet-b0", 3),
+            lambda: _ttn().TimmENUnet("timm-efficientnet-b0", 5, classes=6),
+            head(("conv_head.weight", (1280, 320, 1, 1)),
+                 ("bn2.weight", (1280,)), ("bn2.bias", (1280,)),
+                 ("bn2.running_mean", (1280,)), ("bn2.running_var", (1280,)),
+                 ("classifier.weight", (10, 1280)),
+                 ("classifier.bias", (10,))),
+        ),
     }
+
+
+def _tsn():
+    from tests import torch_ref_senet as tsn
+    return tsn
+
+
+def _tpm():
+    from tests import torch_ref_ptm as tpm
+    return tpm
+
+
+def _ttn():
+    from tests import torch_ref_timm_en as ttn
+    return ttn
 
 
 @pytest.mark.parametrize("case_id", sorted(_cases()))
