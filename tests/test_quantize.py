@@ -113,6 +113,68 @@ def test_quantized_inner_margin_matches_full_crop():
     np.testing.assert_array_equal(inner, full[:, m:-m, m:-m, :])
 
 
+def test_float_decoder_walk_matches_flax_decoder():
+    """walk_unet_decode with float folded convs == the Flax UnetDecoder,
+    both full decode and the inner-margin interval plan."""
+    from flairtpu.models.quantize import fold_unet_decoder, walk_unet_decode
+
+    cfg = _model_config("resnet34_unet")
+    model = create_model(cfg)
+    params, stats = init_model(model, (1, 64, 64, 5), seed=6)
+    params, stats = _randomize_bn(params, stats, seed=7)
+    variables = {"params": params, "batch_stats": stats}
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (2, 64, 64, 5)),
+                    jnp.float32)
+    feats = model.apply(variables, x,
+                        method=lambda m, v: m.encoder(v.astype(m.dtype),
+                                                      train=False))
+    folded_dec = fold_unet_decoder(params, stats)
+
+    ref_full = model.apply(variables, feats, train=False, method="decode")
+    y, off = walk_unet_decode(_float_conv(folded_dec, None), feats, None)
+    head = params["segmentation_head"]["conv"]
+    got = jax.lax.conv_general_dilated(
+        y, head["kernel"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + head["bias"]
+    assert off == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_full),
+                               rtol=2e-4, atol=2e-4)
+
+    m = 16
+    ref_inner = model.apply(variables, feats, train=False, inner_margin=m,
+                            method="decode")
+    yi, offi = walk_unet_decode(_float_conv(folded_dec, None), feats, m)
+    gi = jax.lax.conv_general_dilated(
+        yi, head["kernel"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + head["bias"]
+    S = x.shape[1]
+    gi = gi[:, m - offi : S - m - offi, m - offi : S - m - offi, :]
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ref_inner),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_quantization_dispatch():
+    """unet quantizes its decoder by default; int8_decoder: false and
+    non-unet archs keep the float decoder."""
+    model, qmodel, variables, rng = _quantized_pair("resnet34_unet", seed=31)
+    assert qmodel.dec_qparams is not None
+    assert sorted(qmodel.dec_qparams)[:2] == ["block0/conv1", "block0/conv2"]
+
+    cfg = _model_config("resnet34_unet")
+    cfg["int8_decoder"] = False
+    m2 = create_model(cfg)
+    p2, s2 = init_model(m2, (1, 64, 64, 5), seed=31)
+    calib = [rng.integers(0, 255, (2, 64, 64, 5)).astype(np.uint8)]
+    q2 = quantize_model(cfg, m2, p2, s2, calib)
+    assert q2.dec_qparams is None
+
+    cfg3 = _model_config("resnet50_fpn")
+    m3 = create_model(cfg3)
+    p3, s3 = init_model(m3, (1, 64, 64, 5), seed=31)
+    q3 = quantize_model(cfg3, m3, p3, s3, calib)
+    assert q3.dec_qparams is None  # non-unet: float decoder path
+
+
 def test_quantize_rejections():
     cfg = _model_config("resnet34_unet")
     model = create_model(cfg)
