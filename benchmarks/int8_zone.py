@@ -14,6 +14,7 @@ differenced chain lengths. Usage: python benchmarks/int8_zone.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -46,7 +47,9 @@ def main():
     rng = np.random.default_rng(0)
     calib = [rng.integers(0, 255, (8, SIZE, SIZE, 5)).astype(np.uint8)
              for _ in range(2)]
-    qmodel = quantize_model(cfg, model, params, stats, calib)
+    # sweep the decoder quantization depth (0 = encoder-only int8)
+    depths = [int(d) for d in
+              os.environ.get("DEC_BLOCKS", "0,1,2,3,5").split(",")]
     variables = {"params": params, "batch_stats": stats}
 
     def make_fwd(m):
@@ -55,14 +58,19 @@ def main():
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         return jax.jit(fwd)
 
-    f_float, f_int8 = make_fwd(model), make_fwd(qmodel)
-
+    f_float = make_fwd(model)
+    variants = [("float", f_float)]
     xs = jnp.asarray(rng.integers(0, 255, (2, SIZE, SIZE, 5))
                      .astype(np.float32) / 255.0)
-    a, b = np.asarray(f_float(xs)), np.asarray(f_int8(xs))
-    agree = float((a == b).mean())
-    print(json.dumps({"check": "int8 vs float argmax agreement",
-                      "agree": round(agree, 4)}), flush=True)
+    a = np.asarray(f_float(xs))
+    for d in depths:
+        qmodel = quantize_model({**cfg, "int8_decoder": d}, model, params,
+                                stats, calib)
+        f_q = make_fwd(qmodel)
+        agree = float((a == np.asarray(f_q(xs))).mean())
+        print(json.dumps({"check": f"argmax agreement int8(dec={d}) vs float",
+                          "agree": round(agree, 4)}), flush=True)
+        variants.append((f"int8_dec{d}", f_q))
 
     def timed(fn, x, short=2, long=8, reps=2):
         def chain(n):
@@ -79,10 +87,11 @@ def main():
         return min((chain(long) - chain(short)) / (long - short)
                    for _ in range(reps))
 
-    for batch in (128, 256):
+    batches = [int(b) for b in os.environ.get("BATCHES", "128").split(",")]
+    for batch in batches:
         x = jnp.asarray(rng.integers(0, 255, (batch, SIZE, SIZE, 5))
                         .astype(np.float32) / 255.0)
-        for name, fn in (("float", f_float), ("int8", f_int8)):
+        for name, fn in variants:
             try:
                 dt = timed(fn, x)
                 print(json.dumps({

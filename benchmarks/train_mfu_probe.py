@@ -6,8 +6,9 @@ chained-diff methodology under one experimental condition per invocation
 processes):
 
     BATCH=128                 per-chip batch (default 128)
-    BN_BF16=1                 BatchNorm math in bf16 instead of fp32 (stat
-                              reductions are suspected HBM-bound fp32 traffic)
+    BN_BF16=1                 BatchNorm math in bf16 instead of fp32 via the
+                              production `bn_dtype` train-config knob (stat
+                              reductions are HBM-bound fp32 traffic)
     ACCUM=2                   accumulate_steps (microbatch = BATCH/ACCUM)
     REMAT=1                   jax.checkpoint encoder/decoder blocks
     LIBTPU_INIT_ARGS=...      e.g. --xla_tpu_enable_latency_hiding_scheduler=true
@@ -34,24 +35,6 @@ def main() -> None:
     accum = int(os.environ.get("ACCUM", "1"))
     remat = bool(os.environ.get("REMAT"))
 
-    if bn_bf16:
-        # route every model BN through bf16 math (param/stats stay fp32)
-        import jax.numpy as jnp
-        from flax import linen as nn
-
-        from flairtpu.models import resnet as resnet_mod
-        from flairtpu.models import unet as unet_mod
-
-        def bn_bf16_fn(dtype, name=None):
-            return nn.BatchNorm(use_running_average=None,
-                                momentum=resnet_mod._BN_MOMENTUM,
-                                epsilon=resnet_mod._BN_EPS,
-                                dtype=jnp.bfloat16,
-                                param_dtype=jnp.float32, name=name)
-
-        resnet_mod.batch_norm = bn_bf16_fn
-        unet_mod.batch_norm = bn_bf16_fn
-
     from benchmarks.remat_accum import measure
 
     config = {
@@ -66,6 +49,7 @@ def main() -> None:
                     for i in range(1, 20)},
         "learning_rate": 0.02, "seed": 0,
         "batch_size": batch, "remat": remat, "accumulate_steps": accum,
+        "bn_dtype": "bfloat16" if bn_bf16 else "float32",
     }
     res = measure(config, size=int(os.environ.get("SIZE", "512")))
     pps = res.get("patches_per_sec", 0.0) or 0.0

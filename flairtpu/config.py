@@ -146,6 +146,12 @@ def validate_train_config(cfg: dict) -> dict:
                 "dots_with_no_batch_dims_saveable).")
     if not (isinstance(cfg["accumulate_steps"], int) and cfg["accumulate_steps"] >= 1):
         raise ConfigError("accumulate_steps must be an integer >= 1.")
+    # BN compute dtype: fp32 (torch parity) or bfloat16 (+8% measured train
+    # step on v5e — PERFORMANCE.md round-4 train MFU); params/stats stay fp32
+    cfg.setdefault("bn_dtype", "float32")
+    if cfg["bn_dtype"] not in ("float32", "bfloat16"):
+        raise ConfigError(
+            f"bn_dtype must be float32 or bfloat16, got {cfg['bn_dtype']!r}.")
     # parameter placement over the device mesh (no reference analog: Lightning
     # DDP is always replicated; see flairtpu/parallel/sharding.py)
     cfg.setdefault("param_sharding", "replicated")
@@ -284,6 +290,12 @@ def validate_detect_config(cfg: dict) -> dict:
     if quant not in (None, False, "int8"):
         raise ConfigError(
             "quantize: 'int8' is the only supported value (or omit the key).")
+    dec_blocks = cfg.get("int8_decoder", True)
+    if not (isinstance(dec_blocks, bool)
+            or (isinstance(dec_blocks, int) and 0 <= dec_blocks <= 5)):
+        raise ConfigError(
+            "int8_decoder: expected a bool or a block count 0..5 "
+            f"(got {dec_blocks!r}).")
     if quant:
         from flairtpu.models.registry import RESNET_ENCODERS, check_smp
 

@@ -16,13 +16,17 @@ path:
   fuses into the convs — between consecutive convs the whole
   dequant->relu->requant chain fuses into the producing conv's epilogue, so
   only int8 activations round-trip HBM).
-- For arch 'unet' (the flagship) the DECODER blocks quantize the same way
-  (BN-folded, per-channel weights, calibrated activations; ~30% of the
-  model's FLOPs) via a walk that reproduces the Flax decoder including the
-  inner-margin interval plan; only the tiny segmentation head stays float.
-  Other archs keep their unmodified float decoder/head through
-  ``FlairSegmentationModel.decode``, so all archs whose encoder is a plain
-  ResNet family member still quantize their encoder.
+- For arch 'unet' (the flagship) the DEEP decoder blocks quantize the same
+  way (BN-folded, per-channel weights, calibrated activations) via a walk
+  that reproduces the Flax decoder including the inner-margin interval
+  plan. The ``int8_decoder`` knob (bool or block count 0..5, default 2 from
+  the on-chip sweep in PERFORMANCE.md) bounds the quantized region: shallow
+  blocks run at 128-512px with 16-64 channels where requantize epilogues
+  are an HBM-bound net loss, so they stay folded-float; the segmentation
+  head always stays float. Other archs keep their unmodified float
+  decoder/head through ``FlairSegmentationModel.decode``, so all archs
+  whose encoder is a plain ResNet family member still quantize their
+  encoder.
 
 Opt-in via the detect config key ``quantize: int8``; the reference has no
 quantization at all (fp32 torch end to end), so this is a beyond-reference
@@ -224,6 +228,23 @@ def _quant_conv(qparams: dict):
     return conv_fn
 
 
+def _mixed_conv(qparams: dict, folded: dict):
+    """Per-site dispatch: int8 for sites in ``qparams``, folded-float else.
+
+    Used for the partially-quantized decoder: the deep blocks (low spatial
+    resolution, high channel count) earn their int8 MXU discount, while the
+    shallow blocks' requantize epilogues are HBM-bound losses at 16-32
+    channels and stay folded-float (measured: PERFORMANCE.md int8 decoder
+    sweep)."""
+    qc, fc = _quant_conv(qparams), _float_conv(folded, None)
+
+    def conv_fn(name, x, stride=1, padding=1, dilation=1, groups=1):
+        fn = qc if name in qparams else fc
+        return fn(name, x, stride, padding, dilation, groups)
+
+    return conv_fn
+
+
 # ---------------------------------------------------------------------------
 # calibration + weight quantization
 # ---------------------------------------------------------------------------
@@ -285,10 +306,12 @@ class QuantizedZoneModel:
     decoder/head via ``FlairSegmentationModel.decode``. Inference only."""
 
     def __init__(self, model, qparams: dict, output_stride: int, depth: int,
-                 dec_qparams: dict | None = None):
+                 dec_qparams: dict | None = None,
+                 dec_folded: dict | None = None):
         self._model = model
         self.qparams = qparams
         self.dec_qparams = dec_qparams
+        self.dec_folded = dec_folded or {}
         self._os = output_stride
         self._depth = depth
 
@@ -306,8 +329,8 @@ class QuantizedZoneModel:
         if self.dec_qparams is None:
             return self._model.apply(variables, feats, train=False,
                                      inner_margin=inner_margin, method="decode")
-        y, off = walk_unet_decode(_quant_conv(self.dec_qparams), feats,
-                                  inner_margin)
+        y, off = walk_unet_decode(
+            _mixed_conv(self.dec_qparams, self.dec_folded), feats, inner_margin)
         head = variables["params"]["segmentation_head"]["conv"]
         logits = jax.lax.conv_general_dilated(
             y, head["kernel"].astype(jnp.float32), (1, 1), ((1, 1), (1, 1)),
@@ -316,6 +339,28 @@ class QuantizedZoneModel:
             m, S = inner_margin, x.shape[1]
             logits = logits[:, m - off : S - m - off, m - off : S - m - off, :]
         return logits.astype(jnp.float32)
+
+
+# How many unet decoder blocks go int8 by default (block0..block{N-1}, the
+# deep/low-resolution end). Set from the on-chip sweep (PERFORMANCE.md "int8
+# decoder depth sweep"): 2 measured best (+31.7% over float at batch 128,
+# beating encoder-only's +29%); blocks 2-4 run at 128-512px with 16-64
+# channels where the requantize epilogue is an HBM-bound net loss (dec=5
+# measured barely above float).
+DEFAULT_DECODER_BLOCKS = 2
+
+
+def decoder_quant_blocks(config: dict) -> int:
+    """Resolve the ``int8_decoder`` knob to a block count 0..5."""
+    raw = config.get("int8_decoder", True)
+    if raw is True:
+        return DEFAULT_DECODER_BLOCKS
+    if raw is False or raw is None:
+        return 0
+    n = int(raw)
+    if not 0 <= n <= 5:
+        raise ValueError(f"int8_decoder: expected a bool or 0..5, got {raw!r}")
+    return n
 
 
 def quantize_model(config: dict, model, params, batch_stats,
@@ -337,19 +382,25 @@ def quantize_model(config: dict, model, params, batch_stats,
                 means=tuple(norma.get("norm_means") or ()),
                 stds=tuple(norma.get("norm_stds") or ()))
     folded = fold_encoder(params, batch_stats)
-    # unet also quantizes its decoder blocks (~30% of the flagship's FLOPs,
-    # previously the bf16 remainder of the int8 path — VERDICT r3 #3); the
-    # head stays float. Opt out with `int8_decoder: false`.
-    quant_dec = model.arch == "unet" and bool(config.get("int8_decoder", True))
-    folded_dec = fold_unet_decoder(params, batch_stats) if quant_dec else None
+    # unet also quantizes its DEEP decoder blocks (VERDICT r3 #3). The
+    # `int8_decoder` knob is a bool or a block count 0..5: block0..block{N-1}
+    # (the low-resolution, high-channel ones) go int8, the rest stay
+    # folded-float, the head always stays float. The default comes from the
+    # on-chip sweep in PERFORMANCE.md: shallow blocks (16-32 channels at
+    # 128-256px) LOSE throughput to HBM-bound requantize epilogues.
+    n_q = decoder_quant_blocks(config) if model.arch == "unet" else 0
+    folded_dec = fold_unet_decoder(params, batch_stats) if n_q else None
     act_max = calibrate(model.encoder_name, folded, calib_batches, norm,
                         output_stride, depth, folded_dec=folded_dec)
     qparams = quantize_folded(folded, {k: act_max[k] for k in folded})
-    dec_q = None
-    if quant_dec:
+    dec_q = dec_f = None
+    if n_q:
+        q_sites = {k: v for k, v in folded_dec.items() if int(k[5]) < n_q}
         dec_q = quantize_folded(
-            folded_dec, {k: act_max[f"dec/{k}"] for k in folded_dec})
-    return QuantizedZoneModel(model, qparams, output_stride, depth, dec_q)
+            q_sites, {k: act_max[f"dec/{k}"] for k in q_sites})
+        dec_f = {k: v for k, v in folded_dec.items() if k not in q_sites}
+    return QuantizedZoneModel(model, qparams, output_stride, depth, dec_q,
+                              dec_f)
 
 
 def read_calibration_batches(config: dict, n_tiles: int = 16,

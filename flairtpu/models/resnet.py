@@ -41,12 +41,30 @@ _BN_EPS = 1e-5  # torch nn.BatchNorm2d default
 _BN_MOMENTUM = 0.9  # flax semantics; == torch momentum 0.1
 
 
+# BN compute dtype. fp32 by default (parity with torch, which never
+# downcasts BN stat math); `bn_dtype: bfloat16` in the train config opts
+# into bf16 batch-stat reductions — measured +8% train step throughput on
+# the v5e (the stat materialization traffic is HBM-bound, PERFORMANCE.md
+# round-4 train MFU). Params/running stats stay fp32 either way. Every
+# model family shares this one factory, so the global covers them all.
+_BN_DTYPE = jnp.float32
+
+
+def set_bn_dtype(dtype) -> None:
+    """Set the BN compute dtype ('float32' | 'bfloat16' or a jnp dtype)."""
+    global _BN_DTYPE
+    d = jnp.dtype(dtype)
+    if d not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"bn_dtype: expected float32 or bfloat16, got {dtype}")
+    _BN_DTYPE = jnp.float32 if d == jnp.dtype(jnp.float32) else jnp.bfloat16
+
+
 def batch_norm(dtype, name: str | None = None):
     return nn.BatchNorm(
         use_running_average=None,  # taken from the `use_running_average` call arg
         momentum=_BN_MOMENTUM,
         epsilon=_BN_EPS,
-        dtype=jnp.float32,  # BN math in fp32 regardless of activations dtype
+        dtype=_BN_DTYPE,  # fp32 unless set_bn_dtype opts into bf16
         param_dtype=jnp.float32,
         name=name,
     )

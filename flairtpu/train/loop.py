@@ -103,6 +103,10 @@ class SegmentationTrainer:
 
     def __init__(self, config: dict, mesh=None, dtype=None):
         self.config = config
+        if config.get("bn_dtype"):  # fp32 default; bfloat16 opt-in (config.py)
+            from flairtpu.models.resnet import set_bn_dtype
+
+            set_bn_dtype(config["bn_dtype"])
         # parameter placement: 'replicated' (the reference's DDP layout),
         # 'fsdp' (large params shard over the data axis, ZeRO-3 analog) or
         # 'tensor' (2-D data x model mesh, Megatron analog) — see

@@ -175,6 +175,44 @@ def test_decoder_quantization_dispatch():
     assert q3.dec_qparams is None  # non-unet: float decoder path
 
 
+def test_decoder_quantization_depth_cutoff():
+    """int8_decoder: N quantizes only block0..block{N-1}; the rest stay
+    folded-float, and the partially-quantized logits still track float."""
+    cfg = _model_config("resnet34_unet")
+    cfg["int8_decoder"] = 2
+    model = create_model(cfg)
+    params, stats = init_model(model, (1, 64, 64, 5), seed=41)
+    params, stats = _randomize_bn(params, stats, seed=42)
+    rng = np.random.default_rng(43)
+    calib = [rng.integers(0, 255, (2, 64, 64, 5)).astype(np.uint8)]
+    q = quantize_model(cfg, model, params, stats, calib)
+    assert sorted(q.dec_qparams) == ["block0/conv1", "block0/conv2",
+                                     "block1/conv1", "block1/conv2"]
+    assert sorted(q.dec_folded) == ["block2/conv1", "block2/conv2",
+                                    "block3/conv1", "block3/conv2",
+                                    "block4/conv1", "block4/conv2"]
+    variables = {"params": params, "batch_stats": stats}
+    x_u8 = rng.integers(0, 255, (2, 64, 64, 5)).astype(np.uint8)
+    x = normalize_device(jnp.asarray(x_u8), src_dtype=np.uint8, **NORM)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(q.apply(variables, x, train=False))
+    rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 0.15, f"relative logit error {rel:.3f}"
+    # inner-margin consistency holds on the mixed path too
+    m = 16
+    full = np.asarray(q.apply(variables, x, train=False))
+    inner = np.asarray(q.apply(variables, x, train=False, inner_margin=m))
+    np.testing.assert_array_equal(inner, full[:, m:-m, m:-m, :])
+
+    from flairtpu.models.quantize import (DEFAULT_DECODER_BLOCKS,
+                                          decoder_quant_blocks)
+    assert decoder_quant_blocks({}) == DEFAULT_DECODER_BLOCKS
+    assert decoder_quant_blocks({"int8_decoder": False}) == 0
+    assert decoder_quant_blocks({"int8_decoder": 3}) == 3
+    with pytest.raises(ValueError):
+        decoder_quant_blocks({"int8_decoder": 7})
+
+
 def test_quantize_rejections():
     cfg = _model_config("resnet34_unet")
     model = create_model(cfg)

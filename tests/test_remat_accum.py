@@ -241,3 +241,43 @@ def test_remat_policy_matches_full_remat(rng):
     assert m.remat and m.remat_policy == "dots_saveable"
     with pytest.raises(cfgmod.ConfigError, match="remat_policy"):
         cfgmod.validate_train_config(dict(cfg, remat_policy="frobnicate"))
+
+
+def test_bn_dtype_bfloat16_trains(rng):
+    """`bn_dtype: bfloat16` (config.py) routes BN stat math through bf16
+    (measured +8% train step on the v5e — PERFORMANCE.md round-4 train MFU)
+    while params/running stats stay fp32 and the step still learns."""
+    from flairtpu import config as cfgmod
+    from flairtpu.models.resnet import set_bn_dtype
+
+    batch = {
+        "img": rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+        "msk": rng.integers(0, 4, (4, 32, 32)).astype(np.int32),
+    }
+    try:
+        t = SegmentationTrainer(_config(bn_dtype="bfloat16"))
+        p, s, o, loss, cm, key = _run_step(t, batch)
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree_util.tree_leaves(s):
+            assert leaf.dtype == jnp.float32  # running stats never downcast
+        for leaf in jax.tree_util.tree_leaves(p):
+            assert leaf.dtype == jnp.float32
+        # fp32 reference from the same seed: bf16 stat math stays close
+        set_bn_dtype("float32")
+        t2 = SegmentationTrainer(_config())
+        _, _, _, loss2, _, _ = _run_step(t2, batch)
+        np.testing.assert_allclose(float(loss), float(loss2), rtol=0.05)
+    finally:
+        set_bn_dtype("float32")  # module-global: never leak into other tests
+
+    with pytest.raises(ValueError, match="bn_dtype"):
+        set_bn_dtype("float16")
+
+    cfg = {"paths": {}, "tasks": {}, "model_framework": {
+        "model_provider": "SegmentationModelsPytorch",
+        "SegmentationModelsPytorch": {"encoder_decoder": "resnet18_unet"}},
+        "channels": [1, 2, 3], "norm_type": "scaling",
+        "classes": {i: [1, f"c{i}"] for i in range(1, 5)}}
+    assert cfgmod.validate_train_config(dict(cfg))["bn_dtype"] == "float32"
+    with pytest.raises(cfgmod.ConfigError, match="bn_dtype"):
+        cfgmod.validate_train_config(dict(cfg, bn_dtype="float16"))
