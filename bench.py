@@ -10,7 +10,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
 measured compute/H2D/D2H split of the best pass, the single-chip ``mfu``
 (model FLOPs/s over the chip's 197 TFLOP/s bf16 peak — the defensible
 efficiency claim, independent of any GPU estimate) and
-``train_patches_per_sec`` (flagship fwd+bwd+opt step at batch 128). ``vs_baseline`` divides by
+``train_patches_per_sec`` (flagship fwd+bwd+opt step at batch 128, measured
+with the documented perf config ``bn_dtype: bfloat16`` — override with
+BENCH_BN_DTYPE=float32 for the torch-parity default). ``vs_baseline`` divides by
 max(measured reference loop, 55.0 GPU estimate): benchmarks/torch_baseline.py
 measures the faithful torch reference loop on this host (0.37 patches/s,
 torch 2.13 CPU — no CUDA exists here) and caches it in
@@ -276,6 +278,11 @@ def measure_train_pps() -> float:
         "classes": {i: [0 if i in (15, 16, 17, 19) else 1, f"c{i}"]
                     for i in range(1, 20)},
         "batch_size": bs, "learning_rate": 0.02, "seed": 0,
+        # the documented perf configuration (PERFORMANCE.md "train-MFU
+        # levers"): BN stat math in bf16, +8% over the fp32-parity default;
+        # params/running stats stay fp32 and the loss delta is test-bounded
+        # (tests/test_remat_accum.py). BENCH_BN_DTYPE=float32 restores parity.
+        "bn_dtype": os.environ.get("BENCH_BN_DTYPE", "bfloat16"),
     }
     trainer = SegmentationTrainer(config)
     trainer.replicate_to_mesh()
