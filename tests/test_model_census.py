@@ -64,3 +64,25 @@ def test_census_hf_model_builds():
     assert row["gflops_per_patch"] > 0
     # segformer-b0 is ~3.7M params
     assert 3.0 < row["params_m"] < 5.0
+
+
+def test_zone_hlo_floor_quick_contract():
+    # the production-program roofline script (quick CPU mode): the one JSON
+    # line must carry both brackets, ordered costmodel <= MXU ceiling
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ, BENCH_QUICK="1")
+    out = subprocess.run(
+        [_sys.executable, str(Path(__file__).resolve().parent.parent
+                              / "benchmarks" / "zone_hlo_floor.py")],
+        env=env, capture_output=True, text=True, timeout=600, check=True)
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["tiles"] == 64 and row["backend"] == "cpu"
+    assert row["xla_gflops_per_patch"] > 0
+    assert row["xla_bytes_per_patch_mb"] > 0
+    assert (row["costmodel_patches_per_sec"]
+            <= row["mxu_ceiling_patches_per_sec"])
+    assert 0 < row["costmodel_mfu"] <= 1.0
