@@ -258,6 +258,9 @@ def measure_compute_chain(engine, stride: int) -> float | None:
     return n / per_call
 
 
+TRAIN_BN_DTYPE = os.environ.get("BENCH_BN_DTYPE", "bfloat16")
+
+
 def measure_train_pps() -> float:
     """Flagship train-step throughput (512^2 patches/s/chip), fwd+bwd+opt."""
     import time
@@ -282,47 +285,57 @@ def measure_train_pps() -> float:
         # levers"): BN stat math in bf16, +8% over the fp32-parity default;
         # params/running stats stay fp32 and the loss delta is test-bounded
         # (tests/test_remat_accum.py). BENCH_BN_DTYPE=float32 restores parity.
-        "bn_dtype": os.environ.get("BENCH_BN_DTYPE", "bfloat16"),
+        "bn_dtype": TRAIN_BN_DTYPE,
     }
-    trainer = SegmentationTrainer(config)
-    trainer.replicate_to_mesh()
-    step = trainer.train_step()
-    rng = np.random.default_rng(0)
-    batch = {
-        "img": rng.integers(0, 255, size=(bs, SIZE, SIZE, 5)).astype(np.uint8),
-        "msk": rng.integers(0, 19, size=(bs, SIZE, SIZE)).astype(np.int32),
-    }
-    # stage the batch on device once: a pipelined input feed overlaps H2D with
-    # compute in steady state, so step throughput is the honest train metric
-    img, msk, mtd = trainer._put(batch)
-    jax.block_until_ready(img)
-    state = [trainer.params, trainer.batch_stats, trainer.opt_state,
-             jax.random.PRNGKey(0)]
+    # SegmentationTrainer routes bn_dtype through the process-wide BN dtype
+    # (models/resnet.set_bn_dtype); restore the prior value afterwards so any
+    # model built later in this process doesn't silently inherit bf16 BN
+    from flairtpu.models import resnet as _resnet
 
-    def chain(n):
-        # rng + state chain device-to-device (donated buffers): no per-step
-        # eager dispatch; ONE D2H loss fetch fences the whole chain, and
-        # differencing two chain lengths cancels its seconds-level tunnel
-        # latency (CLAUDE.md timing hazard)
-        p, s, o, key = state
-        loss = None
-        for _ in range(n):
-            p, s, o, loss, cm, key = step(p, s, o, img, msk, mtd, key)
-        state[:] = [p, s, o, key]
-        t0 = time.perf_counter()
-        float(np.asarray(loss))
-        return time.perf_counter() - t0
+    prior_bn_dtype = _resnet._BN_DTYPE
+    try:
+        trainer = SegmentationTrainer(config)
+        trainer.replicate_to_mesh()
+        step = trainer.train_step()
+        rng = np.random.default_rng(0)
+        batch = {
+            "img": rng.integers(0, 255, size=(bs, SIZE, SIZE, 5)).astype(np.uint8),
+            "msk": rng.integers(0, 19, size=(bs, SIZE, SIZE)).astype(np.int32),
+        }
+        # stage the batch on device once: a pipelined input feed overlaps H2D
+        # with compute in steady state, so step throughput is the honest
+        # train metric
+        img, msk, mtd = trainer._put(batch)
+        jax.block_until_ready(img)
+        state = [trainer.params, trainer.batch_stats, trainer.opt_state,
+                 jax.random.PRNGKey(0)]
 
-    chain(1)  # compile
-    short, long = 4, 12
-    # best-of-N chained-diff repeats (default 3): the tunnel's dispatch/fetch
-    # weather varies between captures (round-3 sessions measured the same
-    # step at 203.7 and 295.9 p/s); the min per-step time reflects the
-    # program, not the weather
-    repeats = int(os.environ.get("BENCH_TRAIN_REPEATS", "3"))
-    per_step = min((chain(long) - chain(short)) / (long - short)
-                   for _ in range(repeats))
-    return bs / per_step
+        def chain(n):
+            # rng + state chain device-to-device (donated buffers): no
+            # per-step eager dispatch; ONE D2H loss fetch fences the whole
+            # chain, and differencing two chain lengths cancels its
+            # seconds-level tunnel latency (CLAUDE.md timing hazard)
+            p, s, o, key = state
+            loss = None
+            for _ in range(n):
+                p, s, o, loss, cm, key = step(p, s, o, img, msk, mtd, key)
+            state[:] = [p, s, o, key]
+            t0 = time.perf_counter()
+            float(np.asarray(loss))
+            return time.perf_counter() - t0
+
+        chain(1)  # compile
+        short, long = 4, 12
+        # best-of-N chained-diff repeats (default 3): the tunnel's
+        # dispatch/fetch weather varies between captures (round-3 sessions
+        # measured the same step at 203.7 and 295.9 p/s); the min per-step
+        # time reflects the program, not the weather
+        repeats = int(os.environ.get("BENCH_TRAIN_REPEATS", "3"))
+        per_step = min((chain(long) - chain(short)) / (long - short)
+                       for _ in range(repeats))
+        return bs / per_step
+    finally:
+        _resnet._BN_DTYPE = prior_bn_dtype
 
 
 def bench_train() -> None:
@@ -332,9 +345,10 @@ def bench_train() -> None:
     pps = measure_train_pps()
     print(json.dumps({
         "metric": f"train 512^2 5-ch patches/sec/chip ({jax.default_backend()}, "
-                  "fwd+bwd+opt)",
+                  f"fwd+bwd+opt, bn_dtype={TRAIN_BN_DTYPE})",
         "value": round(pps, 2),
         "unit": "patches/sec",
+        "train_bn_dtype": TRAIN_BN_DTYPE,
         "vs_baseline": round(pps / REF_PATCHES_PER_SEC, 2),
     }))
 
@@ -443,6 +457,9 @@ def main() -> None:
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         train_pps = measure_train_pps()
         line["train_patches_per_sec"] = round(train_pps, 2)
+        # self-describing artifact: record which BN dtype the train step ran
+        # with (the perf default bf16 differs from the torch-parity fp32)
+        line["train_bn_dtype"] = TRAIN_BN_DTYPE
         if backend == "tpu":
             # chip efficiency of the full train step (fwd+bwd conv FLOPs over
             # the bf16 peak), stated like the zone `mfu`

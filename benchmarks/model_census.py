@@ -59,7 +59,8 @@ SIZE = 512
 N_CHANNELS = 5
 N_CLASSES = 19
 
-# one representative per major family (batch-1 512^2 compile each; the full
+# one representative per major family (batch-CENSUS_BATCH (default 8) 512^2
+# compiles each — per-patch byte normalization depends on that batch; the full
 # zoo is 124 smp encoders x 9 archs + the HF registry — the census picks the
 # family anchors a capacity planner would ask about first)
 DEFAULT_MODELS = (

@@ -45,9 +45,10 @@ def metrics(config: dict, path_preds: str | Path, remove_preds: bool = False) ->
     # reference globs the prediction dir, metrics.py:50-58) so a partial
     # predict run fails loudly instead of per-index read errors
     on_disk = len(list(path_preds.glob("PRED_*.tif")))
-    assert len(msks) == on_disk, \
-        (f"[WARNING !] mismatch number of predictions and test files: "
-         f"{on_disk} PRED_*.tif on disk vs {len(msks)} truth masks.")
+    if len(msks) != on_disk:  # real exception, not an assert: survives python -O
+        raise RuntimeError(
+            f"[WARNING !] mismatch number of predictions and test files: "
+            f"{on_disk} PRED_*.tif on disk vs {len(msks)} truth masks.")
 
     print("-- Calculating metrics --")
     k = cfgmod.num_classes(config)
