@@ -58,7 +58,12 @@ _SUPPORTED_PREFIXES = (
     "timm-skresnext", "timm-regnet", "timm-gernet",
     "mobilenet_v2", "vgg", "densenet", "xception",
     "inceptionv4", "inceptionresnetv2", "dpn",
+    "mobileone", "mit",
 )
+
+# Apple MobileOne classifier head (smp's MobileOneEncoder deletes gap+linear
+# and pops linear.* on load)
+_MOBILEONE_HEAD_PREFIXES = ("linear.", "gap.")
 
 # torchvision's historical densenet zoo serialization splits norm/conv names
 # (``denselayer1.norm.1.weight``); torchvision and smp both re-key on load
@@ -74,7 +79,17 @@ def _drop_prefixes(encoder_name: str) -> tuple[str, ...]:
         drops += _EN_HEAD_PREFIXES
     if encoder_name.startswith(("timm-efficientnet", "timm-mobilenetv3")):
         drops += _TIMM_HEAD_PREFIXES
+    if encoder_name.startswith("mobileone"):
+        drops += _MOBILEONE_HEAD_PREFIXES
     return tuple(drops)
+
+
+def _adapt_conv(w: np.ndarray, in_channels: int, default: int) -> np.ndarray:
+    """smp's first-conv channel rule on one OIHW conv weight."""
+    if in_channels == 1:
+        return w.sum(axis=1, keepdims=True).astype(w.dtype)
+    new = np.stack([w[:, i % default] for i in range(in_channels)], axis=1)
+    return (new * (default / in_channels)).astype(w.dtype)
 
 
 def patch_first_conv(sd: Mapping[str, np.ndarray], in_channels: int,
@@ -99,13 +114,35 @@ def patch_first_conv(sd: Mapping[str, np.ndarray], in_channels: int,
     out = dict(sd)
     if in_channels == default:
         return out
-    w = np.asarray(sd[key])
-    if in_channels == 1:
-        new = w.sum(axis=1, keepdims=True)
-    else:
-        new = np.stack([w[:, i % default] for i in range(in_channels)], axis=1)
-        new = new * (default / in_channels)
-    out[key] = new.astype(w.dtype)
+    out[key] = _adapt_conv(np.asarray(sd[key]), in_channels, default)
+    return out
+
+
+def patch_mobileone_stem(sd: Mapping[str, np.ndarray], in_channels: int,
+                         default: int = 3) -> dict[str, np.ndarray]:
+    """MobileOne stem adaptation: EVERY stage0 input branch gets the rule.
+
+    MobileOne's stage0 block reads the raw input through num_conv_branches
+    3x3 ConvBN branches plus a 1x1 rbr_scale branch — all of them consume
+    ``in_channels``. smp's generic ``patch_first_conv`` mutates only the
+    first matching Conv2d module, which cannot yield a runnable multi-branch
+    stem at in_channels != 3 (DEVIATIONS.md #17); flairtpu applies smp's
+    channel rule to every stage0 conv that reads the input.
+    """
+    keys = [k for k, v in sd.items()
+            if k.startswith("stage0.") and k.endswith("weight")
+            and getattr(np.asarray(v), "ndim", 0) == 4
+            and np.asarray(v).shape[1] == default]
+    if not keys:
+        raise ValueError(
+            f"no {default}-input-channel stage0 conv found to adapt to "
+            f"{in_channels} channels — is this a bare MobileOne classifier "
+            "state dict?")
+    out = dict(sd)
+    if in_channels == default:
+        return out
+    for k in keys:
+        out[k] = _adapt_conv(np.asarray(sd[k]), in_channels, default)
     return out
 
 
@@ -126,7 +163,10 @@ def classifier_to_encoder_state_dict(
     if not sd:
         raise ValueError("init_encoder_weights: state dict is empty after "
                          "dropping classifier-head keys")
-    sd = patch_first_conv(sd, in_channels)
+    if encoder_name.startswith("mobileone"):
+        sd = patch_mobileone_stem(sd, in_channels)
+    else:
+        sd = patch_first_conv(sd, in_channels)
     prefix = ("encoder.model." if encoder_name.startswith("timm-mobilenetv3")
               else "encoder.")
     return {prefix + k: v for k, v in sd.items()}

@@ -264,10 +264,141 @@ def test_densenet_old_format_rekeyed(tmp_path):
             "features.denseblock1.denselayer1.norm1.weight"].numpy())
 
 
+def _patch_mobileone_torch(sd: dict, in_channels: int, default: int = 3):
+    """Torch-side oracle for the MobileOne stem rule: every stage0 input
+    conv (all rbr_conv branches + rbr_scale) gets smp's channel adaptation
+    (DEVIATIONS.md #17 — smp's generic patch_first_conv would touch only
+    the first branch, leaving the stem unrunnable)."""
+    sd = dict(sd)
+    for k, v in list(sd.items()):
+        if (k.startswith("stage0.") and v.ndim == 4
+                and v.shape[1] == default):
+            new = torch.empty(v.shape[0], in_channels, *v.shape[2:])
+            for i in range(in_channels):
+                new[:, i] = v[:, i % default]
+            sd[k] = new * (default / in_channels)
+    return sd
+
+
+@pytest.mark.parametrize("name", ["mobileone_s0", "mobileone_s1"])
+def test_mobileone_classifier_init_logit_parity(name, tmp_path, rng):
+    """mobileone: Apple classifier checkpoint (linear head) -> 5-ch encoder.
+
+    s0 exercises the 4-branch stem (every branch must be adapted), s1 the
+    single-branch + rbr_scale form.
+    """
+    from tests import torch_ref_mobileone as tmo
+    from flairtpu.models.mobileone import mobileone_out_channels
+
+    torch.manual_seed(11)
+    enc3 = _randomize_bn(tmo.MobileOneEncoderTorch(name, 3))
+    ch_last = mobileone_out_channels(name)[-1]
+    classifier_sd = {**{k: v.detach().clone()
+                        for k, v in enc3.state_dict().items()},
+                     "linear.weight": torch.randn(10, ch_last),
+                     "linear.bias": torch.randn(10)}
+    pth = _save(tmp_path, classifier_sd)
+
+    torch.manual_seed(23)
+    tm = _randomize_bn(tmo.MobileOneUnet(name, 5, classes=6))
+    enc_sd = {k: v for k, v in classifier_sd.items()
+              if k in enc3.state_dict()}
+    tm.encoder.load_state_dict(_patch_mobileone_torch(enc_sd, 5), strict=True)
+    tm.eval()
+    x = rng.standard_normal((2, 64, 64, 5), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+
+    fm = FlairSegmentationModel(encoder_name=name, arch="unet",
+                                classes=6, dtype=jnp.float32)
+    p0, s0 = init_model(fm, (1, 64, 64, 5), seed=3)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert.torch_to_flax(convert.normalize_keys(sd))
+    variables["params"]["encoder"] = p0["encoder"]
+    variables.setdefault("batch_stats", {})["encoder"] = s0["encoder"]
+    out = init_encoder_from_classifier(pth, name, 5, variables)
+    got = fm.apply({"params": out["params"],
+                    "batch_stats": out["batch_stats"]},
+                   jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), want,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_mit_classifier_init_logit_parity(tmp_path, rng):
+    """mit_b0: smp's headless ImageNet encoder state dict (in_channels is
+    3-only for mit — smp set_in_channels raises otherwise)."""
+    from tests import torch_ref_mit as tmt
+
+    torch.manual_seed(11)
+    enc3 = tmt.MiTEncoderTorch("mit_b0")
+    enc3.eval()
+    # smp hosts encoder-only mit dicts; add head.* anyway to prove the
+    # common-head drop handles the NVlabs classifier serialization too
+    classifier_sd = {**{k: v.detach().clone()
+                        for k, v in enc3.state_dict().items()},
+                     "head.weight": torch.randn(10, 256),
+                     "head.bias": torch.randn(10)}
+    pth = _save(tmp_path, classifier_sd)
+
+    torch.manual_seed(23)
+    tm = _randomize_bn(tmt.MiTUnet("mit_b0", 3, classes=6))
+    enc_sd = {k: v for k, v in classifier_sd.items()
+              if k in enc3.state_dict()}
+    tm.encoder.load_state_dict(enc_sd, strict=True)
+    tm.eval()
+    x = rng.standard_normal((2, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+
+    fm = FlairSegmentationModel(encoder_name="mit_b0", arch="unet",
+                                classes=6, dtype=jnp.float32)
+    p0, s0 = init_model(fm, (1, 64, 64, 3), seed=3)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert.torch_to_flax(convert.normalize_keys(sd))
+    variables["params"]["encoder"] = p0["encoder"]
+    if "encoder" in s0:
+        variables.setdefault("batch_stats", {})["encoder"] = s0["encoder"]
+    else:  # mit encoder is LayerNorm-only: no encoder batch_stats subtree
+        variables.get("batch_stats", {}).pop("encoder", None)
+    out = init_encoder_from_classifier(pth, "mit_b0", 3, variables)
+    got = fm.apply({"params": out["params"],
+                    "batch_stats": out["batch_stats"]},
+                   jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), want,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_mobileone_stem_patch_covers_every_branch():
+    from flairtpu.models.pretrained import patch_mobileone_stem
+
+    rng = np.random.default_rng(0)
+    sd = {f"stage0.rbr_conv.{j}.conv.weight":
+          rng.standard_normal((48, 3, 3, 3)).astype(np.float32)
+          for j in range(4)}
+    sd["stage0.rbr_scale.conv.weight"] = \
+        rng.standard_normal((48, 3, 1, 1)).astype(np.float32)
+    sd["stage1.0.rbr_conv.0.conv.weight"] = \
+        rng.standard_normal((48, 1, 3, 3)).astype(np.float32)
+    out = patch_mobileone_stem(sd, 5)
+    for j in range(4):
+        w = sd[f"stage0.rbr_conv.{j}.conv.weight"]
+        got = out[f"stage0.rbr_conv.{j}.conv.weight"]
+        assert got.shape == (48, 5, 3, 3)
+        np.testing.assert_allclose(got[:, 3], w[:, 0] * 0.6, rtol=1e-6)
+    assert out["stage0.rbr_scale.conv.weight"].shape == (48, 5, 1, 1)
+    # non-stem convs untouched
+    np.testing.assert_array_equal(out["stage1.0.rbr_conv.0.conv.weight"],
+                                  sd["stage1.0.rbr_conv.0.conv.weight"])
+    with pytest.raises(ValueError, match="stage0"):
+        patch_mobileone_stem({"stage1.0.conv.weight":
+                              np.zeros((8, 3, 3, 3), np.float32)}, 5)
+
+
 def test_unsupported_family_raises(tmp_path):
     with pytest.raises(ValueError, match="no classifier-checkpoint converter"):
-        classifier_to_encoder_state_dict({"x.weight": np.zeros((1,))},
-                                         "mit_b0", 5)
+        classifier_to_encoder_state_dict(
+            {"x.weight": np.zeros((1,))},
+            "tu-tf_mobilenetv3_large_minimal_100", 5)
 
 
 def test_incomplete_state_dict_raises(tmp_path):
