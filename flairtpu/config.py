@@ -195,12 +195,29 @@ def validate_train_config(cfg: dict) -> dict:
         if cfg["model_framework"]["model_provider"] != "SegmentationModelsPytorch":
             raise ConfigError(
                 "init_encoder_weights applies to the SegmentationModelsPytorch "
-                "provider only (HuggingFace models: use "
-                "init_weights_only_from_ckpt with a full pretrained checkpoint).")
+                "provider only (HuggingFace models: use init_hf_pretrained "
+                "with a local transformers checkpoint).")
         if not Path(str(cfg["init_encoder_weights"])).exists():
             raise ConfigError(
                 f"init_encoder_weights file not found: "
                 f"{cfg['init_encoder_weights']!r}")
+    # HF-provider pretrained init from a LOCAL transformers checkpoint (a
+    # save_pretrained dir or model.safetensors/pytorch_model.bin file) — the
+    # explicit analog of the reference's always-pretrained HF path
+    # (from_pretrained + ignore_mismatched_sizes, ref src/flair/model.py:43-50;
+    # see flairtpu/models/hf_pretrained.py)
+    cfg.setdefault("init_hf_pretrained", "")
+    if cfg["init_hf_pretrained"]:
+        if cfg["model_framework"]["model_provider"] != "HuggingFace":
+            raise ConfigError(
+                "init_hf_pretrained applies to the HuggingFace provider only "
+                "(SegmentationModelsPytorch models: use init_encoder_weights "
+                "for ImageNet classifier weights, or "
+                "init_weights_only_from_ckpt for a full checkpoint).")
+        if not Path(str(cfg["init_hf_pretrained"])).exists():
+            raise ConfigError(
+                f"init_hf_pretrained path not found: "
+                f"{cfg['init_hf_pretrained']!r}")
     cfg.setdefault("seed", 2022)
     cfg.setdefault("georeferencing_output", True)
     cfg.setdefault("accelerator", "tpu")

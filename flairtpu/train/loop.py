@@ -521,9 +521,8 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         if mf["model_provider"] != "SegmentationModelsPytorch":
             raise ValueError(
                 "init_encoder_weights applies to the SegmentationModelsPytorch "
-                "provider only; for HuggingFace models load a full pretrained "
-                "checkpoint via init_weights_only_from_ckpt (class-count "
-                "surgery included)")
+                "provider only; for HuggingFace models use init_hf_pretrained "
+                "with a local transformers checkpoint")
         encoder_name, _ = check_smp(
             mf["SegmentationModelsPytorch"]["encoder_decoder"])
         variables = init_encoder_from_classifier(
@@ -532,6 +531,25 @@ def fit(config: dict, dict_train: dict, dict_val: dict, out_dir: str | Path,
         trainer.load_state(variables)
         progress(f"    [x] encoder initialized from classifier weights "
                  f"{enc_weights}")
+
+    # HF-provider pretrained init (the reference HF path is ALWAYS pretrained:
+    # from_pretrained + ignore_mismatched_sizes head re-init, ref
+    # src/flair/model.py:43-50); like init_encoder_weights above, applied
+    # BEFORE any checkpoint init/resume so a checkpoint still wins
+    hf_pretrained = config.get("init_hf_pretrained") or ""
+    if hf_pretrained:
+        from flairtpu.models.hf_pretrained import init_hf_from_pretrained
+
+        if config["model_framework"]["model_provider"] != "HuggingFace":
+            raise ValueError(
+                "init_hf_pretrained applies to the HuggingFace provider only")
+        variables, rep = init_hf_from_pretrained(
+            hf_pretrained,
+            {"params": trainer.params, "batch_stats": trainer.batch_stats})
+        trainer.load_state(variables)
+        progress(f"    [x] HF weights initialized from {hf_pretrained} "
+                 f"({len(rep['loaded'])} tensors loaded, "
+                 f"{len(rep['reinitialized'])} kept at fresh init)")
 
     start_epoch = 0
     if train_tasks.get("init_weights_only_from_ckpt") and ckpt_path:

@@ -35,7 +35,7 @@ SLOW_MODULES = {
     "test_timm_en", "test_resnest", "test_res2net", "test_timm_mnv3",
     "test_sknet", "test_regnet", "test_gernet", "test_resnext_wsl",
     "test_mobileone", "test_sharding", "test_pretrained_init",
-    "test_model_census",
+    "test_model_census", "test_hf_pretrained_init",
 }
 
 
