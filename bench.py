@@ -12,7 +12,12 @@ measured compute/H2D/D2H split of the best pass, the single-chip ``mfu``
 efficiency claim, independent of any GPU estimate) and
 ``train_patches_per_sec`` (flagship fwd+bwd+opt step at batch 128, measured
 with the documented perf config ``bn_dtype: bfloat16`` — override with
-BENCH_BN_DTYPE=float32 for the torch-parity default). ``vs_baseline`` divides by
+BENCH_BN_DTYPE=float32 for the torch-parity default). On TPU the flagship
+run also measures the documented best inference config — ``quantize: int8``
+with int8_decoder=2 — emitting ``int8_compute_chain_patches_per_sec`` /
+``int8_mfu`` next to the float numbers (chained device compute only; the
+e2e number is transfer-bound and dtype-independent; BENCH_SKIP_QUANTIZE=1
+to skip). ``vs_baseline`` divides by
 max(measured reference loop, 55.0 GPU estimate): benchmarks/torch_baseline.py
 measures the faithful torch reference loop on this host (0.37 patches/s,
 torch 2.13 CPU — no CUDA exists here) and caches it in
@@ -258,6 +263,36 @@ def measure_compute_chain(engine, stride: int) -> float | None:
     return n / per_call
 
 
+def measure_int8(config, model, params, batch_stats, stride, fwd_flops,
+                 line) -> None:
+    """Measure the int8-quantized zone program and add its numbers to ``line``.
+
+    Chained device compute only (the same RTT-free protocol as the float
+    ``compute_chain_patches_per_sec``): the e2e number is tunnel-transfer-
+    bound and identical between float and int8, so an int8 e2e pass would
+    only record transfer weather. ``int8_mfu`` keeps the bf16-peak
+    denominator used everywhere else, so it is an EFFECTIVE MFU — values
+    above the float mfu reflect the int8 MXU discount (2x bf16 on v5e),
+    not more-than-peak compute.
+    """
+    from flairtpu.models.quantize import (quantize_model,
+                                          read_calibration_batches)
+    from flairtpu.zone.device_engine import DeviceZoneRunner
+    from flairtpu.zone.engine import ZoneEngine
+
+    qcfg = {**config, "quantize": "int8",
+            "int8_decoder": int(os.environ.get("BENCH_INT8_DECODER", "2"))}
+    qmodel = quantize_model(qcfg, model, params, batch_stats,
+                            read_calibration_batches(qcfg))
+    qengine = ZoneEngine(qcfg, qmodel, params, batch_stats)
+    qengine._device_runner = DeviceZoneRunner(qcfg, qmodel, params, batch_stats)
+    q_chain = measure_compute_chain(qengine, stride)
+    if q_chain:
+        line["int8_compute_chain_patches_per_sec"] = round(q_chain, 2)
+        line["int8_mfu"] = round(fwd_flops * q_chain / PEAK_FLOPS, 4)
+        line["int8_decoder_blocks"] = qcfg["int8_decoder"]
+
+
 TRAIN_BN_DTYPE = os.environ.get("BENCH_BN_DTYPE", "bfloat16")
 
 
@@ -452,6 +487,19 @@ def main() -> None:
             line["mfu"] = round(
                 fwd_flops * (chain_pps or compute_pps) / PEAK_FLOPS, 4)
     _stash_partial(line)
+    # int8 perf config (VERDICT r4 weak #3): the documented best zone config
+    # is `quantize: int8` with int8_decoder=2 (+31.7% device compute over
+    # float in the PERFORMANCE.md depth sweep, drift test-bounded) — measure
+    # it so the driver artifact records the project's best number next to
+    # the float one. TPU-only: XLA CPU has no fast int8 conv kernel.
+    if (backend == "tpu" and FLAGSHIP
+            and not os.environ.get("BENCH_SKIP_QUANTIZE")):
+        try:
+            measure_int8(config, model, params, batch_stats, stride,
+                         fwd_flops, line)
+        except Exception as e:  # perf extra must never kill the contract line
+            line["int8_error"] = f"{type(e).__name__}: {e}"
+        _stash_partial(line)
     # train-step throughput, captured by the driver every round (previously
     # only reachable via BENCH_MODE=train, which the driver never runs)
     if not os.environ.get("BENCH_SKIP_TRAIN"):

@@ -54,10 +54,39 @@ def _align_corners_weights(n_out: int, n_in: int) -> np.ndarray:
 
 
 def upsample_align_corners(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
-    """torch nn.UpsamplingBilinear2d equivalent on (B, H, W, C)."""
+    """torch nn.UpsamplingBilinear2d equivalent on (B, H, W, C).
+
+    Deliberately a dense (n_out, n_in) weight-matrix einsum, NOT a two-tap
+    gather+lerp: bilinear has <=2 taps per output pixel so the matmul does
+    ~n_in/2-fold redundant MACs, but on TPU those ride the MXU while
+    gathers crawl on the VPU — the lerp variant MEASURED 2.4x SLOWER in
+    the full deeplabv3plus zone forward (689 vs 1659 patches/s, batch 128;
+    PERFORMANCE.md round-5 "two-tap lerp upsample").
+    """
     B, H, W, C = x.shape
     wh = jnp.asarray(_align_corners_weights(hw[0], H), x.dtype)
     ww = jnp.asarray(_align_corners_weights(hw[1], W), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bowc->bopc", ww, y)
+
+
+def upsample_align_corners_window(x: jax.Array, hw: tuple[int, int],
+                                  lo: int, hi: int) -> jax.Array:
+    """Rows/cols ``[lo, hi)`` of ``upsample_align_corners(x, hw)``.
+
+    The zone exact-clipping path only keeps the margin-cropped interior of
+    the head upsample; subsetting the SAME align-corners weight-matrix rows
+    computes exactly those output pixels without materializing the
+    (B, S, S, K) map — the strided-head analog of the unet plan_inner_crops
+    fast path. Each output element is the same dot product over the same
+    inputs, but XLA may tile the smaller matmul differently, so agreement
+    with full-upsample + crop is within reduction-order rounding (~1 ulp),
+    not guaranteed bit-exact — bounds are test-enforced
+    (tests/test_models.py, tests/test_zone_smp_archs.py).
+    """
+    B, H, W, C = x.shape
+    wh = jnp.asarray(_align_corners_weights(hw[0], H)[lo:hi], x.dtype)
+    ww = jnp.asarray(_align_corners_weights(hw[1], W)[lo:hi], x.dtype)
     y = jnp.einsum("oh,bhwc->bowc", wh, x)
     return jnp.einsum("pw,bowc->bopc", ww, y)
 

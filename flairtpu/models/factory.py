@@ -38,6 +38,18 @@ from flairtpu.models.metadata_mlp import MetadataMLP, fuse_metadata
 from flairtpu.models.resnet import RESNET_SPECS, ResNetEncoder
 from flairtpu.models.unet import SegmentationHead, UnetDecoder
 
+# smp SegmentationHead upsampling factor (UpsamplingBilinear2d):
+# deeplabv3plus/fpn/pan emit stride-4 maps, deeplabv3/pspnet stride-8
+HEAD_UPSAMPLE = {"deeplabv3plus": 4, "fpn": 4, "pan": 4,
+                 "deeplabv3": 8, "pspnet": 8}
+
+# architectures with a margin-cropped zone decode fast path (decode()'s
+# ``inner_margin``): unet via the plan_inner_crops backward-interval walk,
+# the strided-head archs via the windowed align-corners upsample. linknet /
+# manet / unetplusplus decode full-res through non-local block structures
+# and keep the full-decode + crop path.
+INNER_DECODE_ARCHS = frozenset({"unet", *HEAD_UPSAMPLE})
+
 
 class FlairSegmentationModel(nn.Module):
     """Encoder/decoder/head with optional metadata fusion (train+infer).
@@ -253,20 +265,34 @@ class FlairSegmentationModel(nn.Module):
         derive the tile size from it.
         """
         if inner_margin is not None:
-            if self.arch != "unet":
-                raise NotImplementedError("inner_margin requires arch 'unet'")
             m = inner_margin
             S = feats[0].shape[1]
-            y, off = self.decoder(feats, train=train, inner_margin=m)
+            if self.arch == "unet":
+                y, off = self.decoder(feats, train=train, inner_margin=m)
+                logits = self.segmentation_head(y)
+                logits = logits[:, m - off : S - m - off, m - off : S - m - off, :]
+                return logits.astype(jnp.float32)
+            if self.arch not in HEAD_UPSAMPLE:
+                raise NotImplementedError(
+                    "inner_margin supports arch 'unet' and the strided-head "
+                    f"archs ({', '.join(sorted(HEAD_UPSAMPLE))})")
+            # strided-head archs: decode at stride (the decoder needs global
+            # context — PSP/ASPP pooling — so it runs full), apply the head on
+            # the small map, then compute ONLY the interior rows/cols of the
+            # align-corners upsample (same dot products as full-upsample +
+            # crop, within reduction-order rounding; the (B, S, S, K) map is
+            # never materialized)
+            from flairtpu.models.deeplab import upsample_align_corners_window
+
+            y = self.decoder(feats, train=train)
             logits = self.segmentation_head(y)
-            logits = logits[:, m - off : S - m - off, m - off : S - m - off, :]
+            up = HEAD_UPSAMPLE[self.arch]
+            logits = upsample_align_corners_window(
+                logits, (up * logits.shape[1], up * logits.shape[2]), m, S - m)
             return logits.astype(jnp.float32)
         y = self.decoder(feats, train=train)
         logits = self.segmentation_head(y)
-        # smp SegmentationHead upsampling factor (UpsamplingBilinear2d):
-        # deeplabv3plus/fpn/pan emit stride-4 maps, deeplabv3/pspnet stride-8
-        up = {"deeplabv3plus": 4, "fpn": 4, "pan": 4,
-              "deeplabv3": 8, "pspnet": 8}.get(self.arch, 1)
+        up = HEAD_UPSAMPLE.get(self.arch, 1)
         if up > 1:
             from flairtpu.models.deeplab import upsample_align_corners
 

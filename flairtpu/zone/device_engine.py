@@ -108,10 +108,13 @@ class DeviceZoneRunner:
             {"params": self.params, "batch_stats": self.batch_stats}, x, train=False)
 
     def _forward_inner(self, tiles_u8):
-        """Margin-cropped logits; ResNet-U-Nets decode only the interior
-        (plan_inner_crops — bit-identical to full-decode + crop)."""
+        """Margin-cropped logits; unet decodes only the interior
+        (plan_inner_crops, bit-identical) and the strided-head archs window
+        the head upsample (factory.decode, ulp-level agreement)."""
+        from flairtpu.models.factory import INNER_DECODE_ARCHS
+
         m, S = self.margin, self.size
-        if m > 0 and getattr(self.model, "arch", None) == "unet":
+        if m > 0 and getattr(self.model, "arch", None) in INNER_DECODE_ARCHS:
             x = normalize_device(tiles_u8, src_dtype=np.uint8, **self.norm)
             return self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats}, x,

@@ -48,7 +48,10 @@ def prepare_model(config: dict, dtype=None):
     dtype = dtype or default_compute_dtype()
     model = create_model(config, dtype=dtype)
     n_ch = len(config["channels"])
-    params, batch_stats = init_model(model, (1, 64, 64, n_ch))
+    # dummy init shape: 64 suffices for every arch except pan, whose FPA
+    # pyramid pools the stride-16 map down twice and needs it >= 8px
+    s = 128 if getattr(model, "arch", None) == "pan" else 64
+    params, batch_stats = init_model(model, (1, s, s, n_ch))
     variables = load_pretrained(
         config["model_weights"], {"params": params, "batch_stats": batch_stats},
         strict=True)
@@ -92,10 +95,14 @@ class ZoneEngine:
             {"params": self.params, "batch_stats": self.batch_stats}, x, train=False)
 
     def _forward_inner(self, img_u8):
-        """Margin-cropped logits; ResNet-U-Nets use the inner-decode fast path
-        (bit-identical, ~3.5x less decoder work at 512/128 geometry)."""
+        """Margin-cropped logits; unet uses the plan_inner_crops fast path
+        (bit-identical, ~3.5x less decoder work at 512/128 geometry) and the
+        strided-head archs the windowed head upsample (factory.decode,
+        ulp-level agreement)."""
+        from flairtpu.models.factory import INNER_DECODE_ARCHS
+
         m, s = self.margin, self.size
-        if m > 0 and getattr(self.model, "arch", None) == "unet":
+        if m > 0 and getattr(self.model, "arch", None) in INNER_DECODE_ARCHS:
             x = normalize_device(img_u8, src_dtype=np.uint8, **self.norm)
             return self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats}, x,

@@ -195,6 +195,32 @@ def test_inner_margin_decode_bit_identical(size, margin, rng):
     np.testing.assert_array_equal(got, want)
 
 
+# pan hardcodes output-stride 16 and needs a stride-16 map >= 8px for its
+# FPA pyramid, hence the larger tile
+@pytest.mark.parametrize("arch,size,margin", [
+    ("deeplabv3plus", 64, 16), ("fpn", 64, 16), ("pspnet", 64, 16),
+    ("deeplabv3", 64, 16), ("pan", 128, 32)])
+def test_inner_margin_strided_head_matches_full_crop(arch, size, margin, rng):
+    """The strided-head inner decode (windowed align-corners head upsample,
+    factory.decode) vs full decoding + crop — the zone exact-clipping hot
+    path for the non-unet smp archs. The windowed einsum computes the same
+    dot products but XLA may tile the smaller matmul differently, so the
+    contract is reduction-order rounding (~1 ulp), argmax-exact."""
+    from flairtpu.models.factory import init_model
+
+    fm = FlairSegmentationModel(encoder_name="resnet18", arch=arch, classes=5,
+                                dtype=jnp.float32)
+    params, stats = init_model(fm, (1, size, size, 5), seed=11)
+    x = jnp.asarray(rng.standard_normal((2, size, size, 5), dtype=np.float32))
+    variables = {"params": params, "batch_stats": stats}
+    full = fm.apply(variables, x, train=False)
+    want = np.asarray(full[:, margin:size - margin, margin:size - margin, :])
+    got = np.asarray(fm.apply(variables, x, train=False, inner_margin=margin))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
 def test_s2d_stem_numerically_equivalent(rng):
     """StemConv s2d=True (space-to-depth repack) must reproduce the 7x7/s2
     stem: same parameter tree, same logits (an execution-strategy knob for
