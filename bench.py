@@ -280,10 +280,14 @@ def measure_int8(config, model, params, batch_stats, stride, fwd_flops,
     from flairtpu.zone.device_engine import DeviceZoneRunner
     from flairtpu.zone.engine import ZoneEngine
 
-    qcfg = {**config, "quantize": "int8",
+    qcfg = {**config, "quantize": "int8", "bn_fold": True,
             "int8_decoder": int(os.environ.get("BENCH_INT8_DECODER", "2"))}
+    # the documented best config composes bn_fold: the int8 path's
+    # folded-float sites run in the compute dtype (PERFORMANCE.md round 5:
+    # int8 dec=2 + fold 2,715 vs float 2,115 p/s)
     qmodel = quantize_model(qcfg, model, params, batch_stats,
-                            read_calibration_batches(qcfg))
+                            read_calibration_batches(qcfg),
+                            float_dtype=getattr(model, "dtype", None))
     qengine = ZoneEngine(qcfg, qmodel, params, batch_stats)
     qengine._device_runner = DeviceZoneRunner(qcfg, qmodel, params, batch_stats)
     q_chain = measure_compute_chain(qengine, stride)
@@ -291,6 +295,7 @@ def measure_int8(config, model, params, batch_stats, stride, fwd_flops,
         line["int8_compute_chain_patches_per_sec"] = round(q_chain, 2)
         line["int8_mfu"] = round(fwd_flops * q_chain / PEAK_FLOPS, 4)
         line["int8_decoder_blocks"] = qcfg["int8_decoder"]
+        line["int8_bn_fold"] = True
 
 
 TRAIN_BN_DTYPE = os.environ.get("BENCH_BN_DTYPE", "bfloat16")

@@ -313,9 +313,13 @@ def validate_detect_config(cfg: dict) -> dict:
         raise ConfigError(
             "int8_decoder: expected a bool or a block count 0..5 "
             f"(got {dec_blocks!r}).")
-    if quant:
+    fold = cfg.get("bn_fold", False)
+    if not isinstance(fold, bool):
+        raise ConfigError(f"bn_fold: expected a bool (got {fold!r}).")
+    if quant or fold:
         from flairtpu.models.registry import RESNET_ENCODERS, check_smp
 
+        knob = "quantize: int8" if quant else "bn_fold"
         mf = cfg.get("model_framework") or {}
         enc = None
         if (isinstance(mf, dict)
@@ -328,7 +332,7 @@ def validate_detect_config(cfg: dict) -> dict:
                 enc = None  # the model name itself was already validated above
         if enc not in RESNET_ENCODERS:
             raise ConfigError(
-                "quantize: int8 requires a SegmentationModelsPytorch "
+                f"{knob} requires a SegmentationModelsPytorch "
                 "ResNet-family encoder (one of: "
                 + ", ".join(RESNET_ENCODERS) + ").")
 

@@ -204,8 +204,10 @@ def _float_conv(folded: dict, maxes: dict | None):
         if maxes is not None:
             maxes[name] = jnp.max(jnp.abs(x))
         c = folded[name]
+        # sites may hold bf16 weights (bn_fold); match the input to them
         y = jax.lax.conv_general_dilated(
-            x, c["w"], (stride, stride), ((padding, padding), (padding, padding)),
+            x.astype(c["w"].dtype), c["w"], (stride, stride),
+            ((padding, padding), (padding, padding)),
             rhs_dilation=(dilation, dilation), feature_group_count=groups,
             dimension_numbers=_DN)
         return y + c["b"]
@@ -307,13 +309,14 @@ class QuantizedZoneModel:
 
     def __init__(self, model, qparams: dict, output_stride: int, depth: int,
                  dec_qparams: dict | None = None,
-                 dec_folded: dict | None = None):
+                 dec_folded: dict | None = None, head_dtype=jnp.float32):
         self._model = model
         self.qparams = qparams
         self.dec_qparams = dec_qparams
         self.dec_folded = dec_folded or {}
         self._os = output_stride
         self._depth = depth
+        self._head_dtype = head_dtype
 
     def __getattr__(self, name):  # arch, encoder_name, dtype, ...
         return getattr(self._model, name)
@@ -333,8 +336,9 @@ class QuantizedZoneModel:
             _mixed_conv(self.dec_qparams, self.dec_folded), feats, inner_margin)
         head = variables["params"]["segmentation_head"]["conv"]
         logits = jax.lax.conv_general_dilated(
-            y, head["kernel"].astype(jnp.float32), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=_DN) + head["bias"]
+            y.astype(self._head_dtype),
+            head["kernel"].astype(self._head_dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=_DN) + head["bias"].astype(self._head_dtype)
         if inner_margin is not None:
             m, S = inner_margin, x.shape[1]
             logits = logits[:, m - off : S - m - off, m - off : S - m - off, :]
@@ -364,11 +368,14 @@ def decoder_quant_blocks(config: dict) -> int:
 
 
 def quantize_model(config: dict, model, params, batch_stats,
-                   calib_batches) -> QuantizedZoneModel:
+                   calib_batches, float_dtype=None) -> QuantizedZoneModel:
     """Fold + calibrate + quantize ``model``'s encoder for zone inference.
 
     ``calib_batches``: iterable of (B, S, S, C) uint8 arrays, normalized
     on device with the config's ``norma_task`` exactly like production.
+    ``float_dtype`` (the ``bn_fold`` composition): run the folded-FLOAT
+    sites — the shallow decoder blocks and the head — in this dtype
+    instead of fp32 (bf16 on TPU removes their f32 epilogue round trips).
     """
     if model.encoder_name not in RESNET_SPECS:
         raise ValueError(
@@ -399,8 +406,13 @@ def quantize_model(config: dict, model, params, batch_stats,
         dec_q = quantize_folded(
             q_sites, {k: act_max[f"dec/{k}"] for k in q_sites})
         dec_f = {k: v for k, v in folded_dec.items() if k not in q_sites}
+        if float_dtype is not None:
+            dec_f = {k: {"w": v["w"].astype(float_dtype),
+                         "b": v["b"].astype(float_dtype)}
+                     for k, v in dec_f.items()}
     return QuantizedZoneModel(model, qparams, output_stride, depth, dec_q,
-                              dec_f)
+                              dec_f,
+                              head_dtype=float_dtype or jnp.float32)
 
 
 def read_calibration_batches(config: dict, n_tiles: int = 16,

@@ -61,9 +61,20 @@ def prepare_model(config: dict, dtype=None):
         from flairtpu.models.quantize import (quantize_model,
                                               read_calibration_batches)
 
+        # bn_fold composes: the int8 path's folded-FLOAT sites (shallow
+        # decoder blocks + head) run in the compute dtype instead of fp32
+        float_dtype = (getattr(model, "dtype", None)
+                       if config.get("bn_fold") else None)
         model = quantize_model(config, model, params, batch_stats,
-                               read_calibration_batches(config))
+                               read_calibration_batches(config),
+                               float_dtype=float_dtype)
         print("    [x] int8-quantized encoder (w8a8, calibrated on the zone)...")
+    elif config.get("bn_fold"):
+        from flairtpu.models.fold import fold_model
+
+        model = fold_model(model, params, batch_stats)
+        print("    [x] folded BatchNorm into the conv weights (pure "
+              f"{jnp.dtype(model._dtype).name} walk)...")
     return model, params, batch_stats
 
 
