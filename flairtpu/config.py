@@ -319,7 +319,6 @@ def validate_detect_config(cfg: dict) -> dict:
     if quant or fold:
         from flairtpu.models.registry import RESNET_ENCODERS, check_smp
 
-        knob = "quantize: int8" if quant else "bn_fold"
         mf = cfg.get("model_framework") or {}
         enc = None
         if (isinstance(mf, dict)
@@ -330,9 +329,19 @@ def validate_detect_config(cfg: dict) -> dict:
                     .get("encoder_decoder", ""))
             except Exception:
                 enc = None  # the model name itself was already validated above
-        if enc not in RESNET_ENCODERS:
+        is_resnet = enc in RESNET_ENCODERS
+        is_mit = enc is not None and enc.startswith("mit_")
+        if quant and not (is_resnet or is_mit):
             raise ConfigError(
-                f"{knob} requires a SegmentationModelsPytorch "
+                "quantize: int8 requires a SegmentationModelsPytorch "
+                "ResNet-family or mit_b* encoder (one of: "
+                + ", ".join(RESNET_ENCODERS) + ", mit_b0..b5).")
+        # bn_fold folds BatchNorm — meaningless for the BN-free MiT
+        # encoders unless composed with quantize (where it only selects
+        # the float sites' dtype)
+        if fold and not is_resnet and not (quant and is_mit):
+            raise ConfigError(
+                "bn_fold requires a SegmentationModelsPytorch "
                 "ResNet-family encoder (one of: "
                 + ", ".join(RESNET_ENCODERS) + ").")
 

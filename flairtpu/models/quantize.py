@@ -309,7 +309,8 @@ class QuantizedZoneModel:
 
     def __init__(self, model, qparams: dict, output_stride: int, depth: int,
                  dec_qparams: dict | None = None,
-                 dec_folded: dict | None = None, head_dtype=jnp.float32):
+                 dec_folded: dict | None = None, head_dtype=jnp.float32,
+                 feats_fn=None):
         self._model = model
         self.qparams = qparams
         self.dec_qparams = dec_qparams
@@ -317,6 +318,9 @@ class QuantizedZoneModel:
         self._os = output_stride
         self._depth = depth
         self._head_dtype = head_dtype
+        # encoder walk override (the MiT family — models/quantize_mit.py);
+        # None = the ResNet walk below
+        self._feats_fn = feats_fn
 
     def __getattr__(self, name):  # arch, encoder_name, dtype, ...
         return getattr(self._model, name)
@@ -327,8 +331,12 @@ class QuantizedZoneModel:
             raise ValueError("QuantizedZoneModel is inference-only")
         if mtd is not None:
             raise ValueError("metadata fusion is not supported with quantize")
-        feats = walk_features(self._model.encoder_name, _quant_conv(self.qparams),
-                              x, self._os, self._depth)
+        if self._feats_fn is not None:
+            feats = self._feats_fn(x)
+        else:
+            feats = walk_features(self._model.encoder_name,
+                                  _quant_conv(self.qparams),
+                                  x, self._os, self._depth)
         if self.dec_qparams is None:
             return self._model.apply(variables, feats, train=False,
                                      inner_margin=inner_margin, method="decode")
@@ -378,9 +386,13 @@ def quantize_model(config: dict, model, params, batch_stats,
     instead of fp32 (bf16 on TPU removes their f32 epilogue round trips).
     """
     if model.encoder_name not in RESNET_SPECS:
+        if model.encoder_name.startswith("mit_"):
+            return _quantize_mit_model(config, model, params, batch_stats,
+                                       calib_batches, float_dtype)
         raise ValueError(
             f"quantize: int8 supports the ResNet encoder families "
-            f"({', '.join(sorted(RESNET_SPECS))}); got {model.encoder_name!r}")
+            f"({', '.join(sorted(RESNET_SPECS))}) and mit_b0..b5; "
+            f"got {model.encoder_name!r}")
     if getattr(model, "use_metadata", False):
         raise ValueError("quantize: int8 does not support use_metadata")
     output_stride, depth = _ARCH_ENCODER.get(model.arch, (32, 5))
@@ -413,6 +425,71 @@ def quantize_model(config: dict, model, params, batch_stats,
     return QuantizedZoneModel(model, qparams, output_stride, depth, dec_q,
                               dec_f,
                               head_dtype=float_dtype or jnp.float32)
+
+
+def _quantize_mit_model(config, model, params, batch_stats, calib_batches,
+                        float_dtype=None) -> QuantizedZoneModel:
+    """int8 for the MiT attention family (models/quantize_mit.py): dense
+    qkv/proj/mlp + strided embed/sr convs w8a8; LN/softmax/GELU/dwconv and
+    the activation x activation einsums stay float. The unet decoder's
+    deep blocks quantize exactly like the ResNet path."""
+    from flairtpu.models.quantize_mit import (float_sites, quant_sites,
+                                              quantize_mit_sites,
+                                              walk_mit_features)
+
+    if getattr(model, "use_metadata", False):
+        raise ValueError("quantize: int8 does not support use_metadata")
+    norma = config["norma_task"][0]
+    norm = dict(norm_type=norma["norm_type"],
+                means=tuple(norma.get("norm_means") or ()),
+                stds=tuple(norma.get("norm_stds") or ()))
+    enc = params["encoder"]
+    n_q = decoder_quant_blocks(config) if model.arch == "unet" else 0
+    folded_dec = fold_unet_decoder(params, batch_stats) if n_q else None
+
+    @jax.jit
+    def run(img_u8):
+        x = normalize_device(img_u8, src_dtype=np.uint8, **norm)
+        maxes: dict = {}
+        dense_fn, conv_fn = float_sites(maxes, jnp.float32)
+        feats = walk_mit_features(model.encoder_name, dense_fn, conv_fn,
+                                  enc, x, dtype=jnp.float32)
+        if folded_dec is not None:
+            dec_maxes: dict = {}
+            walk_unet_decode(_float_conv(folded_dec, dec_maxes), feats, None)
+            maxes.update({f"dec/{k}": v for k, v in dec_maxes.items()})
+        return maxes
+
+    agg = None
+    for b in calib_batches:
+        m = run(jnp.asarray(b))
+        agg = m if agg is None else {k: jnp.maximum(agg[k], m[k]) for k in m}
+    names = sorted(agg)
+    vals = np.asarray(jnp.stack([agg[n] for n in names]))  # single fetch
+    act_max = {n: float(v) for n, v in zip(names, vals)}
+
+    qparams = quantize_mit_sites(
+        enc, {k: v for k, v in act_max.items() if not k.startswith("dec/")})
+    dec_q = dec_f = None
+    if n_q:
+        q_sites = {k: v for k, v in folded_dec.items() if int(k[5]) < n_q}
+        dec_q = quantize_folded(
+            q_sites, {k: act_max[f"dec/{k}"] for k in q_sites})
+        dec_f = {k: v for k, v in folded_dec.items() if k not in q_sites}
+        if float_dtype is not None:
+            dec_f = {k: {"w": v["w"].astype(float_dtype),
+                         "b": v["b"].astype(float_dtype)}
+                     for k, v in dec_f.items()}
+    wdtype = float_dtype or jnp.float32
+    dense_fn, conv_fn = quant_sites(qparams, wdtype)
+
+    def feats_fn(x):
+        return walk_mit_features(model.encoder_name, dense_fn, conv_fn,
+                                 enc, x, dtype=wdtype)
+
+    return QuantizedZoneModel(model, qparams, 32, 5, dec_q, dec_f,
+                              head_dtype=float_dtype or jnp.float32,
+                              feats_fn=feats_fn)
 
 
 def read_calibration_batches(config: dict, n_tiles: int = 16,
