@@ -473,6 +473,13 @@ def main() -> None:
     for k in ("read_seconds", "h2d_seconds", "compute_seconds", "d2h_seconds"):
         if k in stats:
             line[k] = round(stats[k], 3)
+    if stats.get("h2d_seconds"):
+        # self-describing tunnel weather: the e2e `value` moves with this
+        # number, not with the program (84 MB zone upload; 14-70 MB/s
+        # observed across sessions) — judge program changes on the
+        # compute_chain number below
+        line["h2d_mbps"] = round(
+            ZONE * ZONE * 5 / 1e6 / stats["h2d_seconds"], 1)
     if stats.get("compute_seconds"):
         compute_pps = stats["tiles"] / stats["compute_seconds"]
         line["compute_patches_per_sec"] = round(compute_pps, 2)

@@ -108,6 +108,32 @@ def test_config_validates_bn_fold(tmp_path, rng):
     return base
 
 
+@pytest.mark.slow
+def test_zone_sharded_mesh_bn_fold_agrees(tmp_path, rng, monkeypatch):
+    """bn_fold on the multi-chip sharded zone path: FoldedZoneModel's
+    folded-weight arrays live OUTSIDE the params tree and reach the
+    shard_map program as jit-captured constants — this locks that they
+    replicate correctly over the virtual 8-device mesh (verified on the
+    CPU mesh; single-process only, like every sharded-zone test)."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    monkeypatch.setenv("FLAIRTPU_ZONE_SHARD", "1")
+    base = test_config_validates_bn_fold(tmp_path, rng)
+    from flairtpu.io import TiffReader
+    from flairtpu.zone.engine import run_pipeline
+
+    planes = {}
+    for mode, extra in (("plain", {}), ("fold", {"bn_fold": True})):
+        cfg = cfgmod.validate_detect_config(
+            {**base, "output_path": str(tmp_path / f"sh_{mode}"), **extra})
+        run_pipeline(cfg)
+        with TiffReader(Path(cfg["output_path"]) / "f-ARGMAX-S.tif") as r:
+            planes[mode] = r.read(1)
+    assert (planes["fold"] == planes["plain"]).mean() >= 0.999
+
+
 def test_quantize_float_dtype_composition(rng):
     """quantize_model(float_dtype=f32) must be bit-identical to the default
     int8 path (the cast is a no-op), proving the bn_fold composition only
