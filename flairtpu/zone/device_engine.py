@@ -571,6 +571,17 @@ class DeviceZoneRunner:
                     lambda a: gput(a, spec=rep), self.params)
                 self.batch_stats = jax.tree_util.tree_map(
                     lambda a: gput(a, spec=rep), self.batch_stats)
+                # fold / int8 models carry weights OUTSIDE the params tree
+                # (FoldedZoneModel.enc_folded/dec_folded, QuantizedZoneModel
+                # .qparams/dec_qparams/dec_folded) that the programs also
+                # close over — re-place those as globals too
+                for attr in ("enc_folded", "dec_folded", "qparams",
+                             "dec_qparams"):
+                    tree = getattr(self.model, attr, None)
+                    if tree:
+                        setattr(self.model, attr, jax.tree_util.tree_map(
+                            lambda a: gput(a, spec=rep)
+                            if hasattr(a, "dtype") else a, tree))
         # pad the zone so every full patch window is a valid static slice:
         # origins live in [0, H+2m-S] (grid clamps the last row/col), so m on
         # each side exactly covers every S-row gather; zones smaller than a

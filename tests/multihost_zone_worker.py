@@ -75,8 +75,8 @@ os.environ["FLAIRTPU_ZONE_SHARD"] = "1"
 from flairtpu import config as cfgmod  # noqa: E402
 from flairtpu.zone.engine import run_pipeline  # noqa: E402
 
-detect_cfg = cfgmod.validate_detect_config({
-    "output_path": pipe_out, "output_name": "mhz-ARGMAX-S",
+base_cfg = {
+    "output_name": "mhz-ARGMAX-S",
     "input_img_path": zone_path, "channels": [1, 2, 3, 4, 5],
     "img_pixels_detection": 32, "margin": 8, "output_type": "argmax",
     "n_classes": 4, "model_weights": weights_path,
@@ -85,8 +85,18 @@ detect_cfg = cfgmod.validate_detect_config({
     "norma_task": [{"norm_type": "scaling", "norm_means": [],
                     "norm_stds": []}],
     "classes": {i: [1, f"c{i}"] for i in range(1, 5)},
-})
-run_pipeline(detect_cfg)
+}
+run_pipeline(cfgmod.validate_detect_config(
+    {**base_cfg, "output_path": pipe_out}))
 wrote = os.path.exists(os.path.join(pipe_out, "mhz-ARGMAX-S.tif"))
 print(f"[worker {pid}] OK run_pipeline (rank0_wrote={wrote})")
+
+# -- phase 3: bn_fold across both hosts — FoldedZoneModel's out-of-tree
+# folded weights must be re-placed as global replicated arrays by the
+# sharded runner (device_engine) or the shard_map program can't close
+# over them on a process-spanning mesh
+run_pipeline(cfgmod.validate_detect_config(
+    {**base_cfg, "output_path": pipe_out + "_fold", "bn_fold": True}))
+wrote = os.path.exists(os.path.join(pipe_out + "_fold", "mhz-ARGMAX-S.tif"))
+print(f"[worker {pid}] OK run_pipeline bn_fold (rank0_wrote={wrote})")
 print(f"[worker {pid}] ALL OK")

@@ -128,4 +128,11 @@ def test_two_process_zone_inference(tmp_path):
     assert tifs == ["mhz-ARGMAX-S.tif"], tifs
     with TiffReader(pipe_out / "mhz-ARGMAX-S.tif") as r:
         np.testing.assert_array_equal(r.read(1), ref_exact["cls"])
+
+    # phase 3: bn_fold across both processes (the folded weights live
+    # outside the params tree and must re-place as global arrays); CPU
+    # compute dtype is f32 so folding is pure algebra — planes agree
+    fold_out = Path(str(pipe_out) + "_fold")
+    with TiffReader(fold_out / "mhz-ARGMAX-S.tif") as r:
+        assert (r.read(1) == ref_exact["cls"]).mean() >= 0.999
         np.testing.assert_array_equal(r.read(2), ref_exact["prob"])
