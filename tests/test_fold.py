@@ -78,7 +78,8 @@ def test_fold_rejects_non_resnet_and_metadata(rng):
         fold_model(model, {}, {})
 
 
-def test_config_validates_bn_fold(tmp_path, rng):
+def _detect_base(tmp_path, rng):
+    """Synthesize zone + weights and return a valid detect config dict."""
     model, params, stats, mf = _model(rng)
     weights = tmp_path / "w.msgpack"
     save_weights_msgpack(weights, params, stats)
@@ -96,6 +97,11 @@ def test_config_validates_bn_fold(tmp_path, rng):
         "norma_task": [{"norm_type": "scaling", "norm_means": [],
                         "norm_stds": []}],
     }
+    return base
+
+
+def test_config_validates_bn_fold(tmp_path, rng):
+    base = _detect_base(tmp_path, rng)
     cfgmod.validate_detect_config({**base, "bn_fold": True})
     with pytest.raises(ConfigError, match="bn_fold"):
         cfgmod.validate_detect_config({**base, "bn_fold": "yes"})
@@ -105,7 +111,6 @@ def test_config_validates_bn_fold(tmp_path, rng):
                "SegmentationModelsPytorch": {"encoder_decoder": "vgg11_unet"}}}
     with pytest.raises(ConfigError, match="ResNet-family"):
         cfgmod.validate_detect_config(bad)
-    return base
 
 
 @pytest.mark.slow
@@ -120,7 +125,7 @@ def test_zone_sharded_mesh_bn_fold_agrees(tmp_path, rng, monkeypatch):
     if jax.device_count() < 2:
         pytest.skip("needs the virtual multi-device mesh")
     monkeypatch.setenv("FLAIRTPU_ZONE_SHARD", "1")
-    base = test_config_validates_bn_fold(tmp_path, rng)
+    base = _detect_base(tmp_path, rng)
     from flairtpu.io import TiffReader
     from flairtpu.zone.engine import run_pipeline
 
@@ -158,7 +163,7 @@ def test_quantize_float_dtype_composition(rng):
 
 
 def test_zone_e2e_bn_fold_agrees_with_float(tmp_path, rng):
-    base = test_config_validates_bn_fold(tmp_path, rng)
+    base = _detect_base(tmp_path, rng)
     from flairtpu.zone.engine import run_pipeline
 
     planes = {}
